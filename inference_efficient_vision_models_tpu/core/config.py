@@ -1,0 +1,222 @@
+"""Stage configuration classes.
+
+One config class per pipeline stage, mirroring the reference's four plain
+config classes field-for-field (``teacher_training/teacher_config.py:5-57``,
+``knowledge_distillation/kd_config.py:5-58``, ``pruning/p_config.py:5-75``,
+``quantization/q_config.py:4-65`` in /root/reference) so a user of the
+reference finds the same knobs with the same names and defaults:
+
+* kwargs-override constructor (only known attributes are overridden),
+* ``DEBUG_MODE`` shrinks the workload for smoke runs,
+* ``output/<experiment_name>/`` directory is created as a side effect.
+
+TPU-rebuild differences (deliberate, documented):
+
+* ``device`` is gone — JAX picks the backend; ``compute_dtype`` controls
+  mixed precision (bf16 matmuls on the MXU) instead.
+* one canonical fold-split module with unified keys (the reference used
+  ``"val"`` in the teacher stage and ``"validation"`` elsewhere, and the
+  quantization stage alone shuffled its folds — see SURVEY.md §2.3).
+* artifact paths resolve from a single experiment root so stages no longer
+  require ``cd``-ing into their directory.
+* ``synthetic_data`` / ``synthetic_size``: fabricate a NEU-DET-shaped dataset
+  when the real one is absent (the reference requires a Kaggle download).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+# NEU-DET class name → id map (reference `teacher_config.py:33-40`).
+CLS_NAME_ID_MAP = {
+    "crazing": 0,
+    "inclusion": 1,
+    "patches": 2,
+    "pitted_surface": 3,
+    "rolled-in_scale": 4,
+    "scratches": 5,
+}
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class BaseConfig:
+    """Shared fields + the kwargs-override / DEBUG_MODE / mkdir contract."""
+
+    #: subdirectory of the repo-level ``output/`` tree this stage writes into
+    stage_name = "base"
+
+    def __init__(self, **kwargs):
+        self.choice = 1  # 1: train/prune/quantize, 2: test
+        self.experiment_name = "test"
+        self.DEBUG_MODE = False
+
+        self.num_classes = 6
+        self.num_folds = 5
+        self.image_size: Tuple[int, int] = (224, 224)
+        self.batch_size = 64
+        self.learning_rate = 1e-4
+        self.epochs = 2
+        self.test_ckpt_type = "best"  # 'best' or 'last'
+
+        self.data_dir = os.path.join(_repo_root(), "data", "NEU-DET")
+        self.output_root = os.path.join(_repo_root(), "output", self.stage_name)
+        self.seed = 42
+        self.num_workers = 2  # host-side decode threads
+
+        # TPU-specific knobs (no reference equivalent)
+        self.compute_dtype = "bfloat16"  # matmul/conv compute dtype under jit
+        self.data_axis = "data"  # mesh axis name for DP sharding
+        self.model_axis = "model"  # mesh axis name for optional TP
+        self.synthetic_data = "auto"  # True | False | "auto" (use if data_dir missing)
+        self.synthetic_size = 256  # images per split when synthesizing
+
+        self.cls_name_id_map = dict(CLS_NAME_ID_MAP)
+
+        self._stage_defaults()
+
+        # Override defaults with provided kwargs (reference
+        # `teacher_config.py:44-46`: only known attributes are set).
+        for key, value in kwargs.items():
+            if hasattr(self, key):
+                setattr(self, key, value)
+
+        self.output_dir = os.path.join(self.output_root, self.experiment_name)
+        os.makedirs(self.output_dir, exist_ok=True)
+
+        if self.DEBUG_MODE:
+            self._debug_shrink()
+
+    # -- hooks -------------------------------------------------------------
+    def _stage_defaults(self):
+        """Stage-specific fields; set before kwargs override."""
+
+    def _debug_shrink(self):
+        """DEBUG_MODE shrink (reference `teacher_config.py:51-54`)."""
+        self.epochs = 2
+        self.batch_size = 2
+        self.num_folds = 3
+        self.synthetic_size = 64
+
+    # ----------------------------------------------------------------------
+    def fold_dir(self, fold: int) -> str:
+        return os.path.join(self.output_dir, f"fold_{fold}")
+
+    def __repr__(self):
+        return str({k: v for k, v in self.__dict__.items() if not k.startswith("_")})
+
+
+class TeacherConfig(BaseConfig):
+    """Stage 1: teacher baseline training (reference `teacher_config.py`)."""
+
+    stage_name = "teacher_training"
+
+    def _stage_defaults(self):
+        self.model_name = "resnet50"
+        self.pretrained = True  # torchvision-init import when available
+        self.batch_size = 64
+        self.learning_rate = 1e-4
+        self.epochs = 2
+
+
+class KDConfig(BaseConfig):
+    """Stage 2: knowledge distillation (reference `kd_config.py`)."""
+
+    stage_name = "knowledge_distillation"
+
+    def _stage_defaults(self):
+        self.teacher_exp_name = "test"
+        self.teacher_model = "resnet50"
+        self.student_model = "resnet18"
+        # KD loss = (1-α)·CE + α·KL(log_softmax(s/T), softmax(t/T))·T²
+        # (reference `knowledge_distillation/train.py:47-57`)
+        self.alpha = 0.5
+        self.temperature = 4.0
+        self.batch_size = 32
+        self.learning_rate = 1e-4
+        self.epochs = 2
+        self.teacher_checkpoint: Optional[str] = None
+        self.teacher_exp_path = os.path.join(
+            _repo_root(), "output", "teacher_training", self.teacher_exp_name
+        )
+
+    def resolve_teacher_path(self) -> str:
+        return os.path.join(
+            _repo_root(), "output", "teacher_training", self.teacher_exp_name
+        )
+
+
+class PruningConfig(BaseConfig):
+    """Stage 3: structured pruning + fine-tune (reference `p_config.py`)."""
+
+    stage_name = "pruning"
+
+    def _stage_defaults(self):
+        self.source_exp_name = "test"
+        self.model_name = "resnet18"
+        # Pruning hyperparameters (reference `p_config.py:30-34`)
+        self.pruning_ratio = 0.05
+        self.pruning_type = "structured"
+        self.pruning_method = "l2"  # 'l1' | 'l2' | 'random' | 'taylor' | 'group_norm'
+        self.global_pruning = False
+        # On TPU `round_to` is load-bearing: pruned channel counts should stay
+        # multiples of the VPU lane/sublane granularity for good XLA tiling.
+        self.round_to = 1
+        self.finetune_epochs = 0
+        self.learning_rate = 1e-5
+        self.batch_size = 64
+
+    @property
+    def student_exp_path(self) -> str:
+        return os.path.join(
+            _repo_root(), "output", "knowledge_distillation", self.source_exp_name
+        )
+
+    def _debug_shrink(self):
+        # Reference `p_config.py:69-72`
+        self.num_folds = 1
+        self.fold_id = 0
+        self.finetune_epochs = 1
+        self.batch_size = 2
+        self.synthetic_size = 64
+
+
+class QuantConfig(BaseConfig):
+    """Stage 4: post-training quantization (reference `q_config.py`)."""
+
+    stage_name = "quantization"
+
+    def _stage_defaults(self):
+        self.model_type = "pruned"  # 'teacher' | 'student' | 'pruned'
+        self.student_model = "resnet18"
+        self.teacher_model = "resnet50"
+        self.teacher_exp_name = "test"
+        self.student_exp_name = "test"
+        self.pruning_exp_name = "test"
+        self.batch_size = 32
+        # The reference caps static-INT8 calibration at 256 train images
+        # (`quantization/main.py:157`); its `num_calibration_batches` field was
+        # dead — here `calibration_images` is the real knob.
+        self.num_calibration_batches = 10
+        self.calibration_images = 256
+        self.methods = ("static_int8", "dynamic_int8", "fp16")
+        self.fold_id = 0
+
+    @property
+    def teacher_exp_path(self) -> str:
+        return os.path.join(
+            _repo_root(), "output", "teacher_training", self.teacher_exp_name
+        )
+
+    @property
+    def student_exp_path(self) -> str:
+        return os.path.join(
+            _repo_root(), "output", "knowledge_distillation", self.student_exp_name
+        )
+
+    @property
+    def pruning_exp_path(self) -> str:
+        return os.path.join(_repo_root(), "output", "pruning", self.pruning_exp_name)

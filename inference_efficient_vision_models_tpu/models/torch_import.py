@@ -1,0 +1,104 @@
+"""Checkpoint interop: torch/torchvision state_dicts → our pytrees.
+
+The reference's artifacts are torch ``state_dict`` pickles, sometimes wrapped
+in ``{"model_state_dict": …}`` and sometimes carrying a ``module.`` prefix
+from DataParallel training (`quantization/utils.py:130-150` strips both).
+This module converts those into our (params, state) pytrees so accuracy can
+be compared apples-to-apples against reference-trained weights.
+
+Tensor layout conversions: conv OIHW → HWIO, linear (O, I) → (I, O).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+from .widths import ResNetSpec
+
+
+def _strip(sd: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    if "model_state_dict" in sd:
+        sd = sd["model_state_dict"]
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        # copy: .numpy() is a view into torch storage, which torch mutates
+        # in place (e.g. BN running stats during a training forward)
+        out[k] = np.array(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+    return out
+
+
+def _conv(w):  # OIHW -> HWIO
+    return np.transpose(w, (2, 3, 1, 0)).copy()
+
+
+def from_torch_state_dict(
+    spec: ResNetSpec, sd: Dict[str, Any]
+) -> Tuple[Dict, Dict]:
+    """Build (params, state) from a torchvision-style ResNet state_dict."""
+    sd = _strip(sd)
+
+    def bn(prefix):
+        p = {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+        s = {"mean": sd[f"{prefix}.running_mean"], "var": sd[f"{prefix}.running_var"]}
+        return p, s
+
+    params: Dict[str, Any] = {"conv1": {"w": _conv(sd["conv1.weight"])}}
+    state: Dict[str, Any] = {}
+    params["bn1"], state["bn1"] = bn("bn1")
+
+    n_convs = 2 if spec.block == "basic" else 3
+    for s_i, depth in enumerate(spec.depths):
+        lname = f"layer{s_i + 1}"
+        lp, ls = {}, {}
+        for b in range(depth):
+            bp, bs = {}, {}
+            for c in range(1, n_convs + 1):
+                bp[f"conv{c}"] = {"w": _conv(sd[f"{lname}.{b}.conv{c}.weight"])}
+                bp[f"bn{c}"], bs[f"bn{c}"] = bn(f"{lname}.{b}.bn{c}")
+            if f"{lname}.{b}.downsample.0.weight" in sd:
+                bp["down_conv"] = {"w": _conv(sd[f"{lname}.{b}.downsample.0.weight"])}
+                bp["down_bn"], bs["down_bn"] = bn(f"{lname}.{b}.downsample.1")
+            lp[str(b)], ls[str(b)] = bp, bs
+        params[lname], state[lname] = lp, ls
+
+    params["fc"] = {
+        "w": np.transpose(sd["fc.weight"], (1, 0)).copy(),
+        "b": sd["fc.bias"],
+    }
+    return params, state
+
+
+def load_torch_checkpoint(spec: ResNetSpec, path: str) -> Tuple[Dict, Dict]:
+    """Load a reference ``.pth`` checkpoint file (torch pickle) from disk."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):  # full pickled module (pruned artifact)
+        sd = sd.state_dict()
+    return from_torch_state_dict(spec, sd)
+
+
+def load_torchvision_pretrained(spec: ResNetSpec, params, state):
+    """ImageNet init from torchvision's local weight cache (keeps our head)."""
+    import torchvision
+
+    weights_enum = getattr(
+        torchvision.models, f"ResNet{spec.name.replace('resnet', '')}_Weights"
+    )
+    model_fn = getattr(torchvision.models, spec.name)
+    tm = model_fn(weights=weights_enum.DEFAULT)
+    p2, s2 = from_torch_state_dict(spec_with_imagenet_head(spec), tm.state_dict())
+    # keep our randomly-initialized head (reference replaces fc the same way,
+    # `teacher_training/utils.py:41-43`)
+    p2["fc"] = params["fc"]
+    return p2, s2
+
+
+def spec_with_imagenet_head(spec: ResNetSpec) -> ResNetSpec:
+    import dataclasses
+
+    return dataclasses.replace(spec, num_classes=1000)

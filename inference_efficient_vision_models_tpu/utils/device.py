@@ -1,0 +1,39 @@
+"""Device-placement utilities.
+
+``device_materialize`` exists because of a measured platform behavior: on the
+tunneled TPU backend (axon), buffers produced by ``jax.device_put`` /
+host→device transfer are re-streamed from the host on every executable
+invocation (~86 ms per ResNet18 forward), while buffers produced *by a device
+computation* are device-resident (~0.1 ms for the same forward). Passing any
+host-loaded pytree (checkpoints, numpy weights, converted torch state_dicts)
+through a trivial jitted copy pins it on-device.
+
+On a normal TPU runtime this is a no-op copy and costs one pass over the data.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax import lax
+
+
+@jax.jit
+def _barrier_copy(tree):
+    # optimization_barrier prevents XLA from eliding the copy, so the outputs
+    # are freshly device-allocated buffers.
+    return lax.optimization_barrier(tree)
+
+
+def device_materialize(tree, device=None):
+    """Return a device-resident copy of ``tree`` (see module docstring)."""
+    if device is not None:
+        tree = jax.device_put(tree, device)
+    return _barrier_copy(tree)
+
+
+def cpu_device():
+    return jax.devices("cpu")[0]
+
+
+def tree_size_bytes(tree) -> int:
+    return sum(leaf.size * leaf.dtype.itemsize for leaf in jax.tree.leaves(tree))
