@@ -1,0 +1,81 @@
+"""Shared CLI orchestration for the four pipeline stages.
+
+Keeps the reference's contract: no-flag entry points whose behavior is set by
+the config's ``choice`` (1 = train/compress, 2 = test), per-fold loops over a
+persisted CV split, per-fold artifact dirs. Adds ``key=value`` CLI overrides
+(the reference's config classes already accepted kwargs —
+`teacher_config.py:44-46` — but its CLIs never passed any).
+"""
+
+from __future__ import annotations
+
+import ast
+import sys
+from typing import Dict, Tuple, Type
+
+import numpy as np
+
+from ..core import artifacts, get_logger, set_seed
+from ..data import load_dataset
+from ..data.splits import create_fold_split_idx
+
+
+def parse_cli_kwargs(argv=None) -> Dict:
+    """['choice=1', 'DEBUG_MODE=True'] → {'choice': 1, 'DEBUG_MODE': True}."""
+    argv = argv if argv is not None else sys.argv[1:]
+    out = {}
+    for arg in argv:
+        if "=" not in arg:
+            raise SystemExit(f"arguments must be key=value, got {arg!r}")
+        k, v = arg.split("=", 1)
+        try:
+            out[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            out[k] = v
+    return out
+
+
+def make_config(cfg_cls: Type, argv=None):
+    return cfg_cls(**parse_cli_kwargs(argv))
+
+
+def setup_stage(cfg) -> Tuple:
+    """Common preamble: logger, seed, dataset, persisted fold split.
+
+    Returns (logger, root_key, data, fold_idx_dict). The split is created
+    once per experiment and reloaded afterwards — later stages call
+    ``load_stage_split`` against the *source* experiment instead of
+    re-deriving (fixes reference split divergence, SURVEY.md §2.3).
+    """
+    logger = get_logger(cfg)
+    logger.info("config: %r", cfg)
+    root_key = set_seed(cfg.seed)
+    data = load_dataset(cfg, logger)
+    split = artifacts.load_fold_split(cfg.output_dir)
+    if split is None or len(split) != cfg.num_folds:
+        split = create_fold_split_idx(cfg.num_folds, data["train"][1], cfg.seed)
+        artifacts.save_fold_split(cfg.output_dir, split)
+        logger.info("created %d-fold split", cfg.num_folds)
+    else:
+        logger.info("reusing persisted %d-fold split", len(split))
+    return logger, root_key, data, split
+
+
+def load_stage_split(exp_dir: str, cfg, labels):
+    """Load the split persisted by an upstream stage, else derive it."""
+    split = artifacts.load_fold_split(exp_dir)
+    if split is None:
+        split = create_fold_split_idx(cfg.num_folds, labels, cfg.seed)
+    return split
+
+
+def fold_arrays(data, split, fold: int):
+    """→ ((train_imgs, train_labels), (val_imgs, val_labels), (test_imgs, test_labels))."""
+    imgs, labels = data["train"]
+    tr = np.asarray(split[fold]["train"])
+    va = np.asarray(split[fold]["val"])
+    return (
+        (imgs[tr], labels[tr]),
+        (imgs[va], labels[va]),
+        data["test"],
+    )

@@ -1,0 +1,17 @@
+from .report import summarize_folds
+from .profile import (
+    count_params,
+    model_size_bytes,
+    flops_of,
+    latency_ms,
+    throughput_ips,
+)
+
+__all__ = [
+    "summarize_folds",
+    "count_params",
+    "model_size_bytes",
+    "flops_of",
+    "latency_ms",
+    "throughput_ips",
+]

@@ -1,0 +1,88 @@
+"""Profiling: params, serialized size, FLOPs, latency, throughput.
+
+Rebuilds the reference's metric surface (`pruning_engine_structured.py:131-170`):
+accuracy + wall-clock latency (10 warmups, 50 timed batch-1 runs) + MACs +
+params + size — but TPU-correct:
+
+* latency/throughput use ``block_until_ready`` around a timed loop,
+* FLOPs come from XLA's compiled cost analysis instead of thop hooks,
+* serialized size uses the temp-file pattern (the reference's pruning-stage
+  size measurement was buggy — ``torch.save`` returns None,
+  `pruning_engine_structured.py:157-162`; the correct pattern it has at
+  `quantization/utils.py:122-127` is the one rebuilt here).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+from typing import Callable, Dict
+
+import jax
+import numpy as np
+
+
+def count_params(params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))
+
+
+def model_size_bytes(params, state=None) -> int:
+    """Serialized checkpoint size via temp file (msgpack, dtype-faithful)."""
+    from flax import serialization
+
+    bundle = {"params": jax.device_get(params)}
+    if state is not None:
+        bundle["state"] = jax.device_get(state)
+    with tempfile.NamedTemporaryFile(suffix=".msgpack", delete=False) as f:
+        f.write(serialization.to_bytes(bundle))
+        path = f.name
+    try:
+        return os.path.getsize(path)
+    finally:
+        os.unlink(path)
+
+
+def flops_of(jitted_fn, *args) -> float:
+    """FLOPs of one call, from the compiled executable's cost analysis."""
+    compiled = jitted_fn.lower(*args).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):  # older jax returns [dict]
+        ca = ca[0]
+    return float(ca.get("flops", float("nan")))
+
+
+def latency_ms(
+    fn: Callable, *args, warmup: int = 10, iters: int = 50
+) -> Dict[str, float]:
+    """Per-call latency stats (ms). Each call is synchronized — this measures
+    end-to-end dispatch+execute latency, the serving-relevant number."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append((time.perf_counter() - t0) * 1e3)
+    times = np.asarray(times)
+    return {
+        "p50": float(np.percentile(times, 50)),
+        "p90": float(np.percentile(times, 90)),
+        "mean": float(times.mean()),
+        "min": float(times.min()),
+    }
+
+
+def throughput_ips(
+    fn: Callable, *args, batch_size: int, warmup: int = 5, iters: int = 30
+) -> float:
+    """Steady-state images/sec: pipelined dispatch, one sync at the end."""
+    for _ in range(warmup):
+        r = fn(*args)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(*args)
+    jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt

@@ -39,7 +39,13 @@ BN_MOMENTUM = 0.1
 
 
 def conv2d(x, w, stride: int = 1, padding: int = 0, dtype=None):
-    """NHWC conv with torch-style symmetric padding, fp32 accumulation."""
+    """NHWC conv with torch-style symmetric padding.
+
+    bf16 inputs emit bf16 (the MXU accumulates fp32 internally; BN
+    re-normalizes in fp32 right after). fp32 inputs request fp32 output
+    explicitly. A fp32 ``preferred_element_type`` on bf16 inputs is avoided:
+    its conv VJP rejects the mixed-dtype cotangent.
+    """
     if dtype is not None:
         x = x.astype(dtype)
         w = w.astype(dtype)
@@ -49,7 +55,7 @@ def conv2d(x, w, stride: int = 1, padding: int = 0, dtype=None):
         window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
     )
 
 

@@ -1,0 +1,136 @@
+"""Training orchestration shared by all stages.
+
+Replaces the reference's four near-identical epoch loops
+(`teacher_training/main.py:75-119`, `knowledge_distillation/main.py:134-188`,
+`pruning/pruning_engine_structured.py:75-129`) with one implementation:
+per-epoch train + validate, best-val checkpoint tracking, training_log.json
+history, DEBUG_MODE early batch exit (2 batches, like
+`teacher_training/train.py:20-21`).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..core import artifacts
+from ..data.pipeline import Batches
+from ..utils import device_materialize
+from . import steps as steps_mod
+from .optim import adamw_init
+
+
+def _run_epoch(step_fn, carry, loader, extra_args=(), debug_mode=False):
+    """Drive one epoch; returns (carry, mean_loss, mean_acc, seconds)."""
+    t0 = time.time()
+    tot_loss = tot_acc = tot_n = 0.0
+    for i, batch in enumerate(loader):
+        if debug_mode and i == 2:
+            break
+        params, state, opt = carry
+        params, state, opt, m = step_fn(params, state, opt, *extra_args, batch)
+        carry = (params, state, opt)
+        n = float(m["n"])
+        tot_loss += float(m["loss"]) * n
+        tot_acc += float(m["acc"]) * n
+        tot_n += n
+    return carry, tot_loss / max(tot_n, 1), tot_acc / max(tot_n, 1), time.time() - t0
+
+
+def evaluate(eval_step, params, state, loader, debug_mode=False) -> Dict[str, float]:
+    """Returns {'loss', 'acc', 'n'} (fractions, not percents)."""
+    sums = {"sum_loss": 0.0, "sum_correct": 0.0, "n": 0.0}
+    for i, batch in enumerate(loader):
+        if debug_mode and i == 2:
+            break
+        out = eval_step(params, state, batch)
+        for k in sums:
+            sums[k] += float(out[k])
+    n = max(sums["n"], 1.0)
+    return {"loss": sums["sum_loss"] / n, "acc": sums["sum_correct"] / n, "n": n}
+
+
+def train_classifier(
+    cfg,
+    spec,
+    params,
+    state,
+    train_data,
+    val_data,
+    fold_dir: str,
+    logger,
+    *,
+    teacher=None,  # (teacher_spec, teacher_params, teacher_state) → KD mode
+    epochs: Optional[int] = None,
+    learning_rate: Optional[float] = None,
+    save: bool = True,
+):
+    """Train with best-val tracking; returns (params, state, history).
+
+    ``teacher`` switches the step to knowledge distillation with
+    cfg.alpha / cfg.temperature.
+    """
+    epochs = epochs if epochs is not None else cfg.epochs
+    lr = learning_rate if learning_rate is not None else cfg.learning_rate
+
+    train_loader = Batches(
+        train_data[0], train_data[1], cfg.batch_size, shuffle=True, seed=cfg.seed
+    )
+    val_loader = Batches(val_data[0], val_data[1], cfg.batch_size)
+
+    if teacher is None:
+        step = steps_mod.make_train_step(
+            spec, learning_rate=lr, compute_dtype=cfg.compute_dtype
+        )
+        extra = ()
+    else:
+        t_spec, t_params, t_state = teacher
+        step = steps_mod.make_kd_train_step(
+            spec,
+            t_spec,
+            alpha=cfg.alpha,
+            temperature=cfg.temperature,
+            learning_rate=lr,
+            compute_dtype=cfg.compute_dtype,
+        )
+        extra = (t_params, t_state)
+    eval_step = steps_mod.make_eval_step(spec, compute_dtype=cfg.compute_dtype)
+
+    params, state = device_materialize((params, state))
+    opt = adamw_init(params)
+    carry = (params, state, opt)
+
+    history = {"train_loss": [], "train_acc": [], "val_loss": [], "val_acc": [], "epoch_time": []}
+    best_acc, best = -1.0, None
+    for epoch in range(epochs):
+        carry, tr_loss, tr_acc, secs = _run_epoch(
+            step, carry, train_loader, extra, cfg.DEBUG_MODE
+        )
+        val = evaluate(eval_step, carry[0], carry[1], val_loader, cfg.DEBUG_MODE)
+        history["train_loss"].append(tr_loss)
+        history["train_acc"].append(tr_acc)
+        history["val_loss"].append(val["loss"])
+        history["val_acc"].append(val["acc"])
+        history["epoch_time"].append(secs)
+        logger.info(
+            "epoch %d/%d | train loss %.4f acc %.2f%% | val loss %.4f acc %.2f%% | %.1fs",
+            epoch + 1, epochs, tr_loss, tr_acc * 100, val["loss"], val["acc"] * 100, secs,
+        )
+        if val["acc"] > best_acc:
+            best_acc = val["acc"]
+            best = (jax.device_get(carry[0]), jax.device_get(carry[1]))
+            if save:
+                artifacts.save_checkpoint(fold_dir, artifacts.BEST, best[0], best[1], spec)
+                logger.info("new best val acc %.2f%% → model_best", best_acc * 100)
+        if save:
+            artifacts.save_checkpoint(
+                fold_dir, artifacts.LAST, carry[0], carry[1], spec
+            )
+            artifacts.save_training_log(fold_dir, history)
+
+    if best is None:  # epochs == 0
+        best = (jax.device_get(carry[0]), jax.device_get(carry[1]))
+    return best[0], best[1], history
