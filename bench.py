@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Headline benchmark: INT8 pruned ResNet18 inference on one TPU chip.
+
+Reproduces the reference's flagship configuration (distill → prune ~20% →
+static INT8, `BASELINE.md`) and measures serving throughput + latency of the
+true-int8 MXU path. Prints ONE JSON line:
+
+    {"metric": ..., "value": ..., "unit": "img/s", "vs_baseline": ...}
+
+vs_baseline is against the 10,000 img/s/chip north-star target
+(driver BASELINE.json).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from inference_efficient_vision_models_tpu.compress.prune import prune_model
+    from inference_efficient_vision_models_tpu.compress.quant import qresnet
+    from inference_efficient_vision_models_tpu.compress.quant.engine import (
+        QuantizationEngine,
+    )
+    from inference_efficient_vision_models_tpu.data.pipeline import normalize_images
+    from inference_efficient_vision_models_tpu.data.synthetic import (
+        make_synthetic_neudet,
+    )
+    from inference_efficient_vision_models_tpu.models import create_model
+    from inference_efficient_vision_models_tpu.utils import (
+        cpu_device,
+        device_materialize,
+    )
+
+    BATCH = 128
+    TARGET_IPS = 10_000.0
+
+    class Cfg:
+        batch_size = 64
+        calibration_images = 256
+        DEBUG_MODE = False
+        image_size = (224, 224)
+        compute_dtype = "bfloat16"
+
+    with jax.default_device(cpu_device()):
+        spec, params, state = create_model("resnet18", num_classes=6)
+        # ~20% structured sparsity, MXU-friendly channel multiples
+        pspec, pparams, pstate = prune_model(
+            spec, params, state, ratio=0.11, method="l2", round_to=8
+        )
+
+    import logging
+
+    logger = logging.getLogger("bench")
+    eng = QuantizationEngine(Cfg(), pspec, pparams, pstate, logger)
+
+    calib_imgs, calib_labels = make_synthetic_neudet(16, 224, seed=0)
+    qmodel, _ = eng.static_quantize((calib_imgs, calib_labels))
+    qmodel = device_materialize(qmodel)
+
+    fwd = jax.jit(lambda q, x: qresnet.apply_int8(pspec, q, normalize_images(x)))
+    x = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (BATCH, 224, 224, 3)), jnp.uint8
+    )
+
+    # throughput: pipelined dispatch, sync at the end
+    for _ in range(5):
+        r = fwd(qmodel, x)
+    r.block_until_ready()
+    iters = 50
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fwd(qmodel, x)
+    r.block_until_ready()
+    dt = time.perf_counter() - t0
+    ips = BATCH * iters / dt
+    batch_ms = dt / iters * 1e3
+
+    # synchronized batch-1 latency (includes host dispatch)
+    x1 = x[:1]
+    for _ in range(10):
+        jax.block_until_ready(fwd(qmodel, x1))
+    lats = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fwd(qmodel, x1))
+        lats.append((time.perf_counter() - t0) * 1e3)
+    p50 = float(np.percentile(lats, 50))
+
+    # accuracy delta int8 vs fp32 (argmax agreement on held-out synthetic)
+    test_imgs, _ = make_synthetic_neudet(8, 224, seed=1)
+    xt = normalize_images(jnp.asarray(test_imgs))
+    folded = device_materialize(eng.folded)
+    ref = np.asarray(jax.jit(lambda m, x: qresnet.apply_folded(pspec, m, x))(folded, xt))
+    got = np.asarray(fwd(qmodel, jnp.asarray(test_imgs)))
+    agree = float((ref.argmax(1) == got.argmax(1)).mean())
+
+    print(json.dumps({
+        "metric": "int8_pruned_resnet18_throughput",
+        "value": round(ips, 1),
+        "unit": "img/s",
+        "vs_baseline": round(ips / TARGET_IPS, 3),
+        "batch_size": BATCH,
+        "batch_ms": round(batch_ms, 3),
+        "p50_latency_ms_bs1_sync": round(p50, 3),
+        "int8_vs_fp32_argmax_agreement": agree,
+        "params_M": round(
+            sum(int(p.size) for p in jax.tree.leaves(pparams)) / 1e6, 3
+        ),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

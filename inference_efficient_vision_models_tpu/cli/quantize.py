@@ -1,0 +1,126 @@
+"""Stage 4: post-training quantization.
+
+TPU-native rebuild of `quantization/main.py` (reference :57-336): per fold,
+load the chosen upstream model (teacher / student / pruned — pruned models
+reconstruct from their width-descriptor JSON instead of the reference's
+full-module pickle), build a ≤256-image calibration set from the fold's own
+train split, run all quantization methods, measure size + accuracy (+
+latency/throughput on TPU), save quantized artifacts, and emit the summary
+table + CSV.
+"""
+
+from __future__ import annotations
+
+import os
+import traceback
+
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from ..core import QuantConfig, artifacts
+from ..compress.quant.engine import QuantizationEngine
+from ..metrics.report import summarize_folds
+from .teacher import load_stage_model
+
+
+def _source_dir(cfg, fold: int) -> str:
+    root = {
+        "teacher": cfg.teacher_exp_path,
+        "student": cfg.student_exp_path,
+        "pruned": cfg.pruning_exp_path,
+    }[cfg.model_type]
+    return os.path.join(root, f"fold_{fold}")
+
+
+def _save_qmodel(fold_dir: str, method: str, model) -> str:
+    os.makedirs(fold_dir, exist_ok=True)
+    import jax
+
+    path = os.path.join(fold_dir, f"model_{method}.msgpack")
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(model)))
+    return path
+
+
+def run_quantize(cfg, logger, data, split):
+    from .common import fold_arrays
+
+    rows = []
+    for fold in range(cfg.num_folds):
+        logger.info("===== fold %d/%d (%s) =====", fold, cfg.num_folds - 1, cfg.model_type)
+        src = _source_dir(cfg, fold)
+        try:
+            spec, params, state = load_stage_model(src, cfg.test_ckpt_type)
+        except FileNotFoundError:
+            logger.warning("fold %d: %s model missing in %s — skipping", fold, cfg.model_type, src)
+            continue
+        train_d, val_d, test_d = fold_arrays(data, split, fold)
+        calib = (
+            train_d[0][: cfg.calibration_images],
+            train_d[1][: cfg.calibration_images],
+        )
+
+        engine = QuantizationEngine(cfg, spec, params, state, logger)
+        fp32_mb = engine.size_mb(engine.folded)
+        fp32_fn = None
+
+        methods = {
+            "fp32": lambda: (engine.folded, None),
+            "static_int8": lambda: engine.static_quantize(calib),
+            "dynamic_int8": lambda: engine.dynamic_quantize(),
+            "fp16": lambda: engine.cast_half(jnp.float16),
+            "bf16": lambda: engine.cast_half(jnp.bfloat16),
+        }
+        wanted = ("fp32",) + tuple(cfg.methods)
+        for method in wanted:
+            if method not in methods:
+                logger.warning("unknown method %s — skipping", method)
+                continue
+            try:
+                model, fn = methods[method]()
+                if fn is None:  # fp32 baseline forward
+                    import functools
+                    import jax
+
+                    from ..compress.quant import qresnet
+
+                    spec_ = spec
+                    jfn = jax.jit(lambda m, x: qresnet.apply_folded(spec_, m, x))
+                    from ..utils import device_materialize
+
+                    model = device_materialize(model)
+                    fn = functools.partial(jfn, model)
+                acc = engine.evaluate_accuracy(fn, test_d)
+                size_mb = engine.size_mb(model)
+                lat = engine.measure_latency(fn, batch_size=1)
+                thr = engine.measure_latency(fn, batch_size=cfg.batch_size)
+                if method != "fp32":
+                    _save_qmodel(cfg.fold_dir(fold), method, model)
+                rows.append({
+                    "fold": fold,
+                    "method": method,
+                    "Accuracy": acc * 100.0,
+                    "Size (MB)": size_mb,
+                    "Compression": fp32_mb / max(size_mb, 1e-9),
+                    "p50 latency (ms)": lat["p50"],
+                    "throughput (img/s)": thr["throughput_ips"],
+                })
+                logger.info(
+                    "%s: acc %.2f%% size %.2f MB (%.2fx) p50 %.2f ms bs%d %.0f img/s",
+                    method, acc * 100, size_mb, fp32_mb / max(size_mb, 1e-9),
+                    lat["p50"], cfg.batch_size, thr["throughput_ips"],
+                )
+            except Exception as e:  # reference catches per-method, :310-314
+                logger.error("method %s failed: %s", method, e)
+                logger.error(traceback.format_exc())
+    summarize_folds(rows, cfg.output_dir, logger, name="quantization_summary")
+    return rows
+
+
+def main(argv=None):
+    from .common import make_config, setup_stage
+
+    cfg = make_config(QuantConfig, argv)
+    logger, _, data, split = setup_stage(cfg)
+    return run_quantize(cfg, logger, data, split)

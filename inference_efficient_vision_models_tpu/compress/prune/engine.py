@@ -1,0 +1,267 @@
+"""Structured pruning engine: select → physically re-pack → fine-tune.
+
+TPU-native rebuild of ``StructuredPruningEngine``
+(`pruning/pruning_engine_structured.py:10-184`). Differences by design:
+
+* channels are *physically removed* by re-packing dense arrays keyed by the
+  width descriptor — the pruned model is an ordinary (smaller) ResNet whose
+  spec serializes to JSON, not a pickled module (`pruning/main.py:164-166`),
+* ``round_to`` is load-bearing on TPU: keeping channel counts at multiples
+  of 8 (VPU sublanes) / 128 (lanes) preserves XLA tiling efficiency,
+* head protection is structural: the classifier is not part of any prunable
+  group (reference ignores head modules at `pruning_engine_structured.py:35-43`).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ...models.widths import ResNetSpec
+from .graph import get_path, group_slices, set_path
+from .importance import channel_importance
+
+GroupKey = Tuple
+
+
+def _keep_count(width: int, ratio: float, round_to: int) -> int:
+    n_prune = int(ratio * width)
+    keep = width - n_prune
+    if round_to > 1:
+        keep = int(round(keep / round_to)) * round_to
+    return int(min(max(keep, min(round_to, width), 1), width))
+
+
+def select_channels(
+    spec: ResNetSpec,
+    params,
+    *,
+    ratio: float,
+    method: str = "l2",
+    global_pruning: bool = False,
+    round_to: int = 1,
+    rng: Optional[np.random.Generator] = None,
+    grads=None,
+) -> Dict[GroupKey, np.ndarray]:
+    """Choose kept channel indices (sorted, original order) per group."""
+    groups = group_slices(spec)
+    scores = {
+        tuple(g["key"]): channel_importance(g, params, method, rng=rng, grads=grads)
+        for g in groups
+    }
+
+    if global_pruning:
+        # One threshold across all groups on mean-normalized scores
+        # (reference knob `p_config.py:33`).
+        all_scores = np.concatenate(
+            [s / (s.mean() + 1e-12) for s in scores.values()]
+        )
+        k = int(ratio * len(all_scores))
+        thresh = np.sort(all_scores)[k] if k > 0 else -np.inf
+
+    keep: Dict[GroupKey, np.ndarray] = {}
+    for g in groups:
+        key = tuple(g["key"])
+        s = scores[key]
+        if global_pruning:
+            sn = s / (s.mean() + 1e-12)
+            kept = np.flatnonzero(sn >= thresh)
+            min_keep = max(1, min(round_to, len(s)))
+            if len(kept) < min_keep:
+                kept = np.argsort(-sn)[:min_keep]
+            if round_to > 1:  # trim to multiple, dropping weakest extras
+                n = max((len(kept) // round_to) * round_to, min_keep)
+                kept = kept[np.argsort(-sn[kept])][:n]
+        else:
+            n = _keep_count(len(s), ratio, round_to)
+            kept = np.argsort(-s)[:n]  # strongest n
+        keep[key] = np.sort(kept)
+    return keep
+
+
+def apply_pruning(
+    spec: ResNetSpec, params, state, keep: Dict[GroupKey, np.ndarray]
+) -> Tuple[ResNetSpec, dict, dict]:
+    """Physically slice every coupled array; return the smaller model."""
+    params = copy.deepcopy(jax.device_get(params))
+    state = copy.deepcopy(jax.device_get(state))
+
+    stage_widths = list(spec.stage_widths)
+    inner = [[list(blk) for blk in stg] for stg in spec.inner_widths]
+    stem_width = spec.stem_width
+
+    for g in group_slices(spec):
+        key = tuple(g["key"])
+        if key not in keep:
+            continue
+        idx = np.asarray(keep[key])
+        for path, axis in g["producers"]:
+            set_path(params, path, np.take(np.asarray(get_path(params, path)), idx, axis=axis))
+        for bn_path in g["bns"]:
+            bn_p = get_path(params, bn_path)
+            bn_s = get_path(state, bn_path)
+            for k in ("scale", "bias"):
+                bn_p[k] = np.take(np.asarray(bn_p[k]), idx, axis=0)
+            for k in ("mean", "var"):
+                bn_s[k] = np.take(np.asarray(bn_s[k]), idx, axis=0)
+        for path, axis in g["consumers"]:
+            set_path(params, path, np.take(np.asarray(get_path(params, path)), idx, axis=axis))
+        if g["fc_in"]:
+            params["fc"]["w"] = np.take(np.asarray(params["fc"]["w"]), idx, axis=0)
+
+        # record new width in the descriptor
+        if key[0] == "stem":
+            stem_width = len(idx)
+        elif key[0] == "stage":
+            stage_widths[key[1]] = len(idx)
+            if key[1] == 0 and spec.stem_tied_to_stage0:
+                stem_width = len(idx)
+        else:  # inner
+            _, s, b, i = key
+            inner[s][b][i] = len(idx)
+
+    new_spec = spec.with_widths(
+        stage_widths=tuple(stage_widths), inner_widths=inner, stem_width=stem_width
+    )
+    return new_spec, params, state
+
+
+def taylor_grads(spec, params, state, batch, compute_dtype="float32"):
+    """One-batch loss gradients for Taylor importance."""
+    import jax.numpy as jnp
+
+    from ...data.pipeline import normalize_images
+    from ...models import resnet
+    from ...train.losses import cross_entropy
+
+    imgs_u8, labels, mask = batch
+
+    def loss_fn(p):
+        x = normalize_images(jnp.asarray(imgs_u8))
+        logits, _ = resnet.apply(spec, p, state, x, train=False)
+        return cross_entropy(logits, jnp.asarray(labels), jnp.asarray(mask))
+
+    return jax.grad(loss_fn)(params)
+
+
+def prune_model(
+    spec: ResNetSpec,
+    params,
+    state,
+    *,
+    ratio: float,
+    method: str = "l2",
+    global_pruning: bool = False,
+    round_to: int = 1,
+    seed: int = 42,
+    grads=None,
+    keep: Optional[Dict[GroupKey, np.ndarray]] = None,
+) -> Tuple[ResNetSpec, dict, dict]:
+    """One-shot structured pruning (the reference's single `pruner.step()`)."""
+    if keep is None:
+        keep = select_channels(
+            spec,
+            params,
+            ratio=ratio,
+            method=method,
+            global_pruning=global_pruning,
+            round_to=round_to,
+            rng=np.random.default_rng(seed),
+            grads=grads,
+        )
+    return apply_pruning(spec, params, state, keep)
+
+
+class StructuredPruningEngine:
+    """Stage-3 engine: mirrors the reference class surface
+    (`prune_model` / `finetune` / `evaluate_metrics` / `evaluate_accuracy`)."""
+
+    def __init__(self, cfg, spec, params, state, logger):
+        self.cfg = cfg
+        self.spec = spec
+        self.params = params
+        self.state = state
+        self.logger = logger
+
+    def prune_model(self, grads=None):
+        self.spec, self.params, self.state = prune_model(
+            self.spec,
+            self.params,
+            self.state,
+            ratio=self.cfg.pruning_ratio,
+            method=self.cfg.pruning_method,
+            global_pruning=self.cfg.global_pruning,
+            round_to=self.cfg.round_to,
+            seed=self.cfg.seed,
+            grads=grads,
+        )
+        self.logger.info(
+            "pruned → stem %d, stages %s", self.spec.stem_width, self.spec.stage_widths
+        )
+        return self.spec, self.params, self.state
+
+    def finetune(self, train_d, val_d, fold_dir):
+        from ...train.loop import train_classifier
+
+        if self.cfg.finetune_epochs <= 0:
+            return self.params, self.state
+        self.params, self.state, _ = train_classifier(
+            self.cfg,
+            self.spec,
+            self.params,
+            self.state,
+            train_d,
+            val_d,
+            fold_dir,
+            self.logger,
+            epochs=self.cfg.finetune_epochs,
+            learning_rate=self.cfg.learning_rate,
+            save=False,
+        )
+        return self.params, self.state
+
+    def evaluate_metrics(self, test_d, tag=""):
+        """accuracy + p50 latency (batch-1, 10 warmup / 50 timed, reference
+        protocol) + FLOPs/MACs + params + serialized size."""
+        import jax.numpy as jnp
+
+        from ...data.pipeline import Batches, normalize_images
+        from ...metrics.profile import (
+            count_params,
+            flops_of,
+            latency_ms,
+            model_size_bytes,
+        )
+        from ...models import resnet
+        from ...train.loop import evaluate
+        from ...train.steps import make_eval_step
+        from ...utils import device_materialize
+
+        params, state = device_materialize((self.params, self.state))
+        eval_step = make_eval_step(self.spec, compute_dtype=self.cfg.compute_dtype)
+        res = evaluate(
+            eval_step, params, state,
+            Batches(test_d[0], test_d[1], self.cfg.batch_size),
+            self.cfg.DEBUG_MODE,
+        )
+
+        spec = self.spec
+        fwd = jax.jit(
+            lambda p, s, x: resnet.apply(spec, p, s, normalize_images(x), train=False)[0]
+        )
+        h, w = self.cfg.image_size
+        x1 = jnp.zeros((1, h, w, 3), jnp.uint8)
+        lat = latency_ms(fwd, params, state, x1)
+        flops = flops_of(fwd, params, state, x1)
+        metrics = {
+            "Accuracy": res["acc"] * 100.0,
+            "Latency (ms)": lat["p50"],
+            "MACs (G)": flops / 2 / 1e9,
+            "Params (M)": count_params(params) / 1e6,
+            "Size (MB)": model_size_bytes(params, state) / 1e6,
+        }
+        self.logger.info("%s metrics: %s", tag, {k: round(v, 4) for k, v in metrics.items()})
+        return metrics

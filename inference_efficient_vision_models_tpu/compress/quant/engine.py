@@ -1,0 +1,147 @@
+"""QuantizationEngine: the live, reusable stage-4 API.
+
+The reference shipped this surface twice: inline in `quantization/main.py`
+(the used path, :172-314) and as a dead reusable class
+(`quantization/engines.py:11-133`). Here there is one engine, and it is the
+one the CLI uses.
+
+Methods (reference parity):
+  static_quantize       — per-channel-int8 weights + calibrated quint8
+                          activations → true int8 MXU inference
+  dynamic_quantize      — int8 dense (fc) layers with on-the-fly activation
+                          quantization; convs stay fp32
+                          (torch `quantize_dynamic({nn.Linear})`,
+                          `quantization/main.py:247-251`)
+  dynamic_quantize_fp16 / cast_fp16 — half-precision cast
+                          (`quantization/main.py:253-262`); bf16 variant is
+                          the TPU-native choice
+  evaluate_accuracy / measure_latency — shared eval + timing harness
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ...data.pipeline import Batches, normalize_images
+from ...metrics.profile import latency_ms, model_size_bytes, throughput_ips
+from ...models.widths import ResNetSpec
+from ...utils import device_materialize
+from .fold import fold_conv_bn
+from .observers import quantize_weight_per_channel
+from . import qresnet
+
+
+def _dynamic_fc(feats, fcq):
+    """Dynamic int8 dense: per-batch activation scale, int8 matmul."""
+    lo = jnp.minimum(jnp.min(feats), 0.0)
+    hi = jnp.maximum(jnp.max(feats), 0.0)
+    scale = jnp.maximum((hi - lo) / 255.0, 1.2e-7)
+    zp = jnp.clip(jnp.round(-lo / scale), 0, 255).astype(jnp.int32)
+    x_s = (jnp.clip(jnp.round(feats / scale) + zp, 0, 255) - 128).astype(jnp.int8)
+    acc = lax.dot_general(
+        x_s, fcq["w_q"], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    acc = acc - (zp - 128) * fcq["w_sum"]
+    return acc.astype(jnp.float32) * (scale * fcq["w_scale"]) + fcq["bias"]
+
+
+class QuantizationEngine:
+    """Quantize a (possibly pruned) model given its spec + params + state."""
+
+    def __init__(self, cfg, spec: ResNetSpec, params, state, logger):
+        self.cfg = cfg
+        self.spec = spec
+        self.params = params
+        self.state = state
+        self.logger = logger
+        self.folded = fold_conv_bn(spec, params, state)
+
+    # -- conversions -------------------------------------------------------
+    def static_quantize(self, calib_data: Tuple[np.ndarray, np.ndarray]):
+        """Calibrate on ≤cfg.calibration_images then convert to int8.
+
+        Returns (qmodel, apply_fn(x_f32) → logits)."""
+        loader = Batches(calib_data[0], calib_data[1], self.cfg.batch_size)
+        observers = qresnet.calibrate(
+            self.spec,
+            self.folded,
+            loader,
+            max_images=self.cfg.calibration_images,
+        )
+        qmodel = qresnet.convert_static_int8(self.spec, self.folded, observers)
+        qmodel = device_materialize(qmodel)
+        spec = self.spec
+        fn = jax.jit(lambda q, x: qresnet.apply_int8(spec, q, x))
+        return qmodel, functools.partial(fn, qmodel)
+
+    def dynamic_quantize(self):
+        """int8 fc only; convs run folded fp32 (reference dynamic scope)."""
+        w_q, w_scale = quantize_weight_per_channel(
+            np.asarray(self.folded["fc"]["w"]), channel_axis=1
+        )
+        model = {k: v for k, v in self.folded.items() if k != "fc"}
+        model["fc_q"] = {
+            "w_q": w_q,
+            "w_scale": w_scale,
+            "w_sum": w_q.astype(np.int32).sum(axis=0),
+            "bias": np.asarray(self.folded["fc"]["b"], np.float32),
+        }
+        model = device_materialize(model)
+        spec = self.spec
+
+        def fwd(m, x):
+            feats = qresnet.apply_folded(spec, m, x, return_features=True)
+            return _dynamic_fc(feats, m["fc_q"])
+
+        fn = jax.jit(fwd)
+        return model, functools.partial(fn, model)
+
+    def cast_half(self, dtype=jnp.float16):
+        """fp16 (parity) / bf16 (TPU-native) cast of the folded model."""
+        model = jax.tree.map(
+            lambda a: jnp.asarray(a).astype(dtype)
+            if jnp.asarray(a).dtype == jnp.float32
+            else jnp.asarray(a),
+            self.folded,
+        )
+        model = device_materialize(model)
+        spec = self.spec
+        fn = jax.jit(
+            lambda m, x: qresnet.apply_folded(spec, m, x.astype(dtype)).astype(jnp.float32)
+        )
+        return model, functools.partial(fn, model)
+
+    def dynamic_quantize_fp16(self):
+        return self.cast_half(jnp.float16)
+
+    # -- shared harness ----------------------------------------------------
+    def evaluate_accuracy(self, apply_fn, test_d) -> float:
+        loader = Batches(test_d[0], test_d[1], self.cfg.batch_size)
+        correct = n = 0.0
+        eval_fn = jax.jit(
+            lambda x: jnp.argmax(apply_fn(normalize_images(x)), axis=-1)
+        )
+        for i, (imgs, labels, mask) in enumerate(loader):
+            if self.cfg.DEBUG_MODE and i == 2:
+                break
+            pred = np.asarray(eval_fn(jnp.asarray(imgs)))
+            correct += ((pred == labels) * mask).sum()
+            n += mask.sum()
+        return float(correct / max(n, 1.0))
+
+    def measure_latency(self, apply_fn, batch_size: int = 1) -> Dict[str, float]:
+        h, w = self.cfg.image_size
+        x = jnp.zeros((batch_size, h, w, 3), jnp.float32)
+        fn = jax.jit(lambda x: apply_fn(normalize_images(x)))
+        lat = latency_ms(fn, x)
+        lat["throughput_ips"] = throughput_ips(fn, x, batch_size=batch_size)
+        return lat
+
+    def size_mb(self, model) -> float:
+        return model_size_bytes(model) / 1e6

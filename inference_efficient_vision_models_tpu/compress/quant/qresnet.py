@@ -1,0 +1,296 @@
+"""Quantized ResNet: calibration taps, conversion, and the true-int8 forward.
+
+This is the TPU-native replacement for the reference's FX graph-mode static
+INT8 pipeline (`quantization/main.py:184-242`: prepare_fx → calibrate →
+convert_fx → QNNPACK int8 kernels). Here:
+
+* taps    — the folded fp32 model is run with activation taps at every
+            quantization point (what prepare_fx's observers record),
+* convert — weights → per-channel symmetric int8, activations → quint8
+            affine qparams from the observers; BN is already folded,
+* apply   — one jitted program whose convs run int8×int8→int32 on the MXU
+            with a fused fp32 epilogue (dequant → bias → relu/add → requant).
+
+Affine activation trick: quint8 values are stored shifted (q−128, int8).
+Real zero-padding pads with the shifted zero-point, and the affine
+correction reduces to a per-channel constant ``zp_s · Σw`` because padding
+and interior then share the same offset:
+
+    conv(x−zp) = conv_pad_{zp_s}(x_s) − zp_s · Σ_{hwi} w[...,oc]
+
+so the int8 conv needs no position-dependent correction map.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ...models.widths import ResNetSpec
+from .observers import (
+    ObserverState,
+    dequantize_affine_shifted,
+    minmax_qparams_affine,
+    quantize_affine_shifted,
+    quantize_weight_per_channel,
+)
+
+# --------------------------------------------------------------------------
+# tap collection (on the folded fp32 model)
+# --------------------------------------------------------------------------
+
+
+def _conv_f32(x, w, b, stride, padding, relu):
+    y = lax.conv_general_dilated(
+        x, jnp.asarray(w),
+        (stride, stride), [(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + jnp.asarray(b)
+    return jax.nn.relu(y) if relu else y
+
+
+def _max_pool(x, init):
+    return lax.reduce_window(
+        x, init, lax.max,
+        window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
+        padding=[(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+
+
+def apply_folded(
+    spec: ResNetSpec, folded, x, *, with_taps: bool = False, return_features: bool = False
+):
+    """fp32 forward on the folded model; optionally returns activation taps
+    or stops at the pooled features (pre-classifier)."""
+    taps: Dict[str, jax.Array] = {"input": x}
+    t = _conv_f32(x, folded["conv1"]["w"], folded["conv1"]["b"], 2, 3, relu=True)
+    taps["stem"] = t
+    t = _max_pool(t, -jnp.inf)
+
+    for s, depth in enumerate(spec.depths):
+        for b in range(depth):
+            blk = folded[f"layer{s + 1}"][str(b)]
+            stride = spec.block_stride(s, b)
+            identity = t
+            if spec.block == "basic":
+                h = _conv_f32(t, blk["conv1"]["w"], blk["conv1"]["b"], stride, 1, relu=True)
+                taps[f"l{s}b{b}i0"] = h
+                h = _conv_f32(h, blk["conv2"]["w"], blk["conv2"]["b"], 1, 1, relu=False)
+            else:
+                h = _conv_f32(t, blk["conv1"]["w"], blk["conv1"]["b"], 1, 0, relu=True)
+                taps[f"l{s}b{b}i0"] = h
+                h = _conv_f32(h, blk["conv2"]["w"], blk["conv2"]["b"], stride, 1, relu=True)
+                taps[f"l{s}b{b}i1"] = h
+                h = _conv_f32(h, blk["conv3"]["w"], blk["conv3"]["b"], 1, 0, relu=False)
+            if "down" in blk:
+                identity = _conv_f32(t, blk["down"]["w"], blk["down"]["b"], stride, 0, relu=False)
+            t = jax.nn.relu(h + identity)
+            taps[f"l{s}b{b}o"] = t
+
+    feats = jnp.mean(t, axis=(1, 2))
+    taps["feat"] = feats
+    if return_features:
+        return feats
+    logits = feats @ jnp.asarray(folded["fc"]["w"]) + jnp.asarray(folded["fc"]["b"])
+    if with_taps:
+        return logits, taps
+    return logits
+
+
+def calibrate(
+    spec: ResNetSpec, folded, batches, *, max_images: int = 256, averaging_constant=0.01
+) -> Dict[str, ObserverState]:
+    """Run ≤max_images through the folded model, EMA-updating every tap's
+    observer (reference calibration budget: `quantization/main.py:157`)."""
+    tap_minmax = jax.jit(
+        lambda f, x: jax.tree.map(
+            lambda t: (jnp.min(t), jnp.max(t)),
+            apply_folded(spec, f, x, with_taps=True)[1],
+        )
+    )
+    observers: Dict[str, ObserverState] = {}
+    seen = 0
+    for batch in batches:
+        imgs, _labels, mask = batch if len(batch) == 3 else (*batch, None)
+        from ...data.pipeline import normalize_images
+
+        x = normalize_images(jnp.asarray(imgs))
+        mm = jax.device_get(tap_minmax(folded, x))
+        for name, (lo, hi) in mm.items():
+            observers.setdefault(name, ObserverState.fresh())
+            observers[name] = observers[name].update(lo, hi, averaging_constant)
+        seen += int(imgs.shape[0])
+        if seen >= max_images:
+            break
+    return observers
+
+
+# --------------------------------------------------------------------------
+# conversion
+# --------------------------------------------------------------------------
+
+
+def _qconv_params(w, b, obs_out=None) -> Dict:
+    w_q, w_scale = quantize_weight_per_channel(np.asarray(w), channel_axis=3)
+    d = {
+        "w_q": w_q,
+        "w_scale": w_scale,
+        "w_sum": w_q.astype(np.int32).sum(axis=(0, 1, 2)),
+        "bias": np.asarray(b, np.float32),
+    }
+    if obs_out is not None:
+        scale, zp = minmax_qparams_affine(obs_out.min, obs_out.max)
+        d["out_scale"] = np.float32(scale)
+        d["out_zp"] = np.int32(zp)
+    return d
+
+
+def convert_static_int8(spec: ResNetSpec, folded, observers) -> Dict:
+    """Folded fp32 model + calibrated observers → int8 model pytree."""
+    q: Dict = {}
+    s_in, zp_in = minmax_qparams_affine(observers["input"].min, observers["input"].max)
+    q["input"] = {"scale": np.float32(s_in), "zp": np.int32(zp_in)}
+    q["stem"] = _qconv_params(
+        folded["conv1"]["w"], folded["conv1"]["b"], observers["stem"]
+    )
+    for s, depth in enumerate(spec.depths):
+        lname = f"layer{s + 1}"
+        q[lname] = {}
+        for b in range(depth):
+            blk = folded[lname][str(b)]
+            out: Dict = {}
+            if spec.block == "basic":
+                out["conv1"] = _qconv_params(
+                    blk["conv1"]["w"], blk["conv1"]["b"], observers[f"l{s}b{b}i0"]
+                )
+                out["conv2"] = _qconv_params(blk["conv2"]["w"], blk["conv2"]["b"])
+            else:
+                out["conv1"] = _qconv_params(
+                    blk["conv1"]["w"], blk["conv1"]["b"], observers[f"l{s}b{b}i0"]
+                )
+                out["conv2"] = _qconv_params(
+                    blk["conv2"]["w"], blk["conv2"]["b"], observers[f"l{s}b{b}i1"]
+                )
+                out["conv3"] = _qconv_params(blk["conv3"]["w"], blk["conv3"]["b"])
+            if "down" in blk:
+                out["down"] = _qconv_params(blk["down"]["w"], blk["down"]["b"])
+            o_scale, o_zp = minmax_qparams_affine(
+                observers[f"l{s}b{b}o"].min, observers[f"l{s}b{b}o"].max
+            )
+            out["out_scale"] = np.float32(o_scale)
+            out["out_zp"] = np.int32(o_zp)
+            q[lname][str(b)] = out
+
+    f_scale, f_zp = minmax_qparams_affine(observers["feat"].min, observers["feat"].max)
+    w_q, w_scale = quantize_weight_per_channel(np.asarray(folded["fc"]["w"]), channel_axis=1)
+    q["fc"] = {
+        "w_q": w_q,
+        "w_scale": w_scale,
+        "w_sum": w_q.astype(np.int32).sum(axis=0),
+        "bias": np.asarray(folded["fc"]["b"], np.float32),
+        "in_scale": np.float32(f_scale),
+        "in_zp": np.int32(f_zp),
+    }
+    return q
+
+
+# --------------------------------------------------------------------------
+# true-int8 forward
+# --------------------------------------------------------------------------
+
+
+def _qconv_int8(x_s, zp, qc, stride: int, padding: int):
+    """int8 conv with affine-input correction → fp32 (dequant + bias).
+
+    x_s: shifted-int8 activations; zp: their (unshifted) zero point.
+    """
+    zp_s = (zp - 128).astype(jnp.int8)
+    if padding:
+        x_s = jnp.pad(
+            x_s,
+            ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+            constant_values=zp_s,
+        )
+    acc = lax.conv_general_dilated(
+        x_s,
+        qc["w_q"],
+        (stride, stride),
+        [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    acc = acc - (zp - 128) * qc["w_sum"]
+    return acc
+
+
+def _epilogue(acc, in_scale, qc, relu: bool):
+    y = acc.astype(jnp.float32) * (in_scale * qc["w_scale"]) + qc["bias"]
+    return jax.nn.relu(y) if relu else y
+
+
+def _requant(y, scale, zp):
+    q = jnp.round(y / scale) + zp
+    return (jnp.clip(q, 0, 255) - 128).astype(jnp.int8)
+
+
+def apply_int8(spec: ResNetSpec, q, x):
+    """Static-INT8 inference: fp32 images → logits. One XLA program; every
+    conv is int8 on the MXU, epilogues are fused VPU fp32."""
+    in_scale, in_zp = q["input"]["scale"], q["input"]["zp"]
+    x_s = quantize_affine_shifted(x, in_scale, in_zp)
+
+    stem = q["stem"]
+    acc = _qconv_int8(x_s, in_zp, stem, 2, 3)
+    y = _epilogue(acc, in_scale, stem, relu=True)
+    cur = _requant(y, stem["out_scale"], stem["out_zp"])
+    cur_scale, cur_zp = stem["out_scale"], stem["out_zp"]
+    cur = _max_pool(cur, jnp.int8(-128))  # monotonic: exact in q-domain
+
+    for s, depth in enumerate(spec.depths):
+        for b in range(depth):
+            blk = q[f"layer{s + 1}"][str(b)]
+            stride = spec.block_stride(s, b)
+            in_s, in_z = cur_scale, cur_zp
+            x_in = cur
+            if spec.block == "basic":
+                a = _epilogue(_qconv_int8(x_in, in_z, blk["conv1"], stride, 1), in_s, blk["conv1"], relu=True)
+                a_q = _requant(a, blk["conv1"]["out_scale"], blk["conv1"]["out_zp"])
+                h = _epilogue(
+                    _qconv_int8(a_q, blk["conv1"]["out_zp"], blk["conv2"], 1, 1),
+                    blk["conv1"]["out_scale"], blk["conv2"], relu=False,
+                )
+            else:
+                a = _epilogue(_qconv_int8(x_in, in_z, blk["conv1"], 1, 0), in_s, blk["conv1"], relu=True)
+                a_q = _requant(a, blk["conv1"]["out_scale"], blk["conv1"]["out_zp"])
+                bmid = _epilogue(
+                    _qconv_int8(a_q, blk["conv1"]["out_zp"], blk["conv2"], stride, 1),
+                    blk["conv1"]["out_scale"], blk["conv2"], relu=True,
+                )
+                b_q = _requant(bmid, blk["conv2"]["out_scale"], blk["conv2"]["out_zp"])
+                h = _epilogue(
+                    _qconv_int8(b_q, blk["conv2"]["out_zp"], blk["conv3"], 1, 0),
+                    blk["conv2"]["out_scale"], blk["conv3"], relu=False,
+                )
+            if "down" in blk:
+                identity = _epilogue(
+                    _qconv_int8(x_in, in_z, blk["down"], stride, 0), in_s, blk["down"], relu=False
+                )
+            else:
+                identity = dequantize_affine_shifted(x_in, in_s, in_z)
+            t = jax.nn.relu(h + identity)
+            cur = _requant(t, blk["out_scale"], blk["out_zp"])
+            cur_scale, cur_zp = blk["out_scale"], blk["out_zp"]
+
+    feats = jnp.mean(dequantize_affine_shifted(cur, cur_scale, cur_zp), axis=(1, 2))
+    fc = q["fc"]
+    f_q = quantize_affine_shifted(feats, fc["in_scale"], fc["in_zp"])
+    acc = lax.dot_general(
+        f_q, fc["w_q"], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    acc = acc - (fc["in_zp"] - 128) * fc["w_sum"]
+    logits = acc.astype(jnp.float32) * (fc["in_scale"] * fc["w_scale"]) + fc["bias"]
+    return logits

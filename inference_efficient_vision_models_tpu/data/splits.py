@@ -30,10 +30,15 @@ def create_fold_split_idx(
     from sklearn.model_selection import StratifiedKFold
 
     y = np.asarray(cls_ids)
-    if num_folds < 2:
-        raise ValueError("num_folds must be >= 2")
-    skf = StratifiedKFold(n_splits=num_folds)  # shuffle=False: reference default
+    if num_folds < 1:
+        raise ValueError("num_folds must be >= 1")
+    # num_folds == 1 (DEBUG shrink, reference `p_config.py:70`): a single
+    # stratified 80/20 holdout standing in for "fold 0".
+    n_splits = 5 if num_folds == 1 else num_folds
+    skf = StratifiedKFold(n_splits=n_splits)  # shuffle=False: reference default
     out: Dict[int, Dict[str, list]] = {}
     for k, (train, val) in enumerate(skf.split(np.zeros_like(y), y)):
+        if k >= num_folds:
+            break
         out[k] = {"train": train.tolist(), "val": val.tolist()}
     return out

@@ -1,0 +1,166 @@
+"""Quantization tests: observer parity vs torch.ao, BN-fold exactness,
+quant/dequant round-trips, and static/dynamic int8 end-to-end behavior."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from inference_efficient_vision_models_tpu.compress.quant import qresnet
+from inference_efficient_vision_models_tpu.compress.quant.engine import (
+    QuantizationEngine,
+)
+from inference_efficient_vision_models_tpu.compress.quant.fold import fold_conv_bn
+from inference_efficient_vision_models_tpu.compress.quant.observers import (
+    ObserverState,
+    minmax_qparams_affine,
+    quantize_weight_per_channel,
+)
+from inference_efficient_vision_models_tpu.models import create_model, resnet
+
+
+def test_affine_qparams_match_torch():
+    torch = pytest.importorskip("torch")
+    from torch.ao.quantization.observer import MovingAverageMinMaxObserver
+
+    rng = np.random.default_rng(0)
+    obs_t = MovingAverageMinMaxObserver(
+        averaging_constant=0.01, dtype=torch.quint8,
+        qscheme=torch.per_tensor_affine,
+    )
+    obs_j = ObserverState.fresh()
+    for _ in range(5):
+        x = rng.standard_normal((64,)).astype(np.float32) * rng.uniform(0.5, 3)
+        obs_t(torch.tensor(x))
+        obs_j = obs_j.update(x.min(), x.max(), 0.01)
+    scale_t, zp_t = obs_t.calculate_qparams()
+    scale_j, zp_j = minmax_qparams_affine(obs_j.min, obs_j.max)
+    np.testing.assert_allclose(scale_j, float(scale_t), rtol=1e-6)
+    assert zp_j == int(zp_t)
+
+
+def test_per_channel_weight_quant_matches_torch():
+    torch = pytest.importorskip("torch")
+    from torch.ao.quantization.observer import PerChannelMinMaxObserver
+
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((8, 3, 3, 16)).astype(np.float32)  # HWIO-ish
+    # torch observer works on OIHW with ch_axis=0 → give it O-major view
+    w_oihw = np.transpose(w, (3, 2, 0, 1))
+    obs = PerChannelMinMaxObserver(
+        ch_axis=0, dtype=torch.qint8, qscheme=torch.per_channel_symmetric
+    )
+    obs(torch.tensor(w_oihw))
+    scale_t, _ = obs.calculate_qparams()
+
+    w_q, scale_j = quantize_weight_per_channel(w, channel_axis=3)
+    np.testing.assert_allclose(scale_j, scale_t.numpy(), rtol=1e-5)
+    # round-trip error bounded by scale/2
+    deq = w_q.astype(np.float32) * scale_j.reshape(1, 1, 1, -1)
+    assert np.max(np.abs(deq - w)) <= np.max(scale_j) * 0.5 + 1e-6
+
+
+@pytest.mark.parametrize("name", ["resnet18", "resnet50"])
+def test_bn_fold_exact(name):
+    spec, params, state = create_model(name, num_classes=6)
+    folded = fold_conv_bn(spec, params, state)
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((2, 64, 64, 3)), jnp.float32
+    )
+    ref, _ = resnet.apply(spec, params, state, x, train=False)
+    got = qresnet.apply_folded(spec, folded, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def _trained_like_model(seed=0):
+    """Random-init model; activations are still representative for numerics."""
+    spec, params, state = create_model("resnet18", num_classes=6)
+    return spec, params, state
+
+
+class _Cfg:
+    batch_size = 16
+    calibration_images = 64
+    DEBUG_MODE = False
+    image_size = (64, 64)
+    compute_dtype = "float32"
+
+
+def test_static_int8_close_to_fp32():
+    import logging
+
+    spec, params, state = _trained_like_model()
+    cfg = _Cfg()
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 255, (64, 64, 64, 3)).astype(np.uint8)
+    labels = rng.integers(0, 6, 64).astype(np.int32)
+
+    eng = QuantizationEngine(cfg, spec, params, state, logging.getLogger("q"))
+    qmodel, q_fn = eng.static_quantize((imgs, labels))
+
+    from inference_efficient_vision_models_tpu.data.pipeline import normalize_images
+
+    x = normalize_images(jnp.asarray(imgs[:8]))
+    ref = np.asarray(qresnet.apply_folded(spec, eng.folded, x))
+    got = np.asarray(q_fn(x))
+    # int8 logits track fp32 within quantization noise; argmax mostly agrees
+    err = np.abs(got - ref) / (np.abs(ref).max() + 1e-6)
+    assert err.max() < 0.25, err.max()
+    agree = (got.argmax(1) == ref.argmax(1)).mean()
+    assert agree >= 0.75, agree
+
+    # int8 model serializes ~4x smaller than fp32 params
+    fp32_mb = eng.size_mb(eng.folded)
+    int8_mb = eng.size_mb(qmodel)
+    assert int8_mb < fp32_mb / 3.0, (fp32_mb, int8_mb)
+
+
+def test_dynamic_int8_fc_close_to_fp32():
+    import logging
+
+    spec, params, state = _trained_like_model()
+    cfg = _Cfg()
+    eng = QuantizationEngine(cfg, spec, params, state, logging.getLogger("q"))
+    model, fn = eng.dynamic_quantize()
+    x = jnp.asarray(
+        np.random.default_rng(4).standard_normal((4, 64, 64, 3)), jnp.float32
+    )
+    ref = np.asarray(qresnet.apply_folded(spec, eng.folded, x))
+    got = np.asarray(fn(x))
+    np.testing.assert_allclose(got, ref, rtol=0.1, atol=0.05)
+
+
+def test_fp16_cast_close_and_half_size():
+    import logging
+
+    spec, params, state = _trained_like_model()
+    cfg = _Cfg()
+    eng = QuantizationEngine(cfg, spec, params, state, logging.getLogger("q"))
+    model, fn = eng.cast_half(jnp.float16)
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((2, 64, 64, 3)), jnp.float32
+    )
+    ref = np.asarray(qresnet.apply_folded(spec, eng.folded, x))
+    got = np.asarray(fn(x))
+    assert np.max(np.abs(got - ref)) < 0.1
+    assert eng.size_mb(model) < eng.size_mb(eng.folded) * 0.55
+
+
+def test_quantized_pruned_model_runs():
+    """Stage-3 → stage-4 chaining: quantize a pruned-width model."""
+    import logging
+
+    from inference_efficient_vision_models_tpu.compress.prune import prune_model
+
+    spec, params, state = create_model("resnet18", num_classes=6)
+    pspec, pparams, pstate = prune_model(spec, params, state, ratio=0.25, method="l2", round_to=8)
+    cfg = _Cfg()
+    eng = QuantizationEngine(cfg, pspec, pparams, pstate, logging.getLogger("q"))
+    rng = np.random.default_rng(6)
+    imgs = rng.integers(0, 255, (32, 64, 64, 3)).astype(np.uint8)
+    qmodel, q_fn = eng.static_quantize((imgs, np.zeros(32, np.int32)))
+    from inference_efficient_vision_models_tpu.data.pipeline import normalize_images
+
+    logits = np.asarray(q_fn(normalize_images(jnp.asarray(imgs[:4]))))
+    assert logits.shape == (4, 6)
+    assert np.isfinite(logits).all()
