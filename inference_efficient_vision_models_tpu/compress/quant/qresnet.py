@@ -237,17 +237,44 @@ def _requant(y, scale, zp):
     return (jnp.clip(q, 0, 255) - 128).astype(jnp.int8)
 
 
-def apply_int8(spec: ResNetSpec, q, x):
+def _conv_q(x_s, zp, in_scale, qc, stride, padding, *, relu, requant, impl, interpret):
+    """One quantized conv through the selected backend.
+
+    impl="lax"    — XLA's native int8 convolution + fused fp32 epilogue.
+    impl="im2col" — patches + Pallas fused int8 matmul (ops/): the MXU
+                    matmul path measured ~30× faster than the direct conv
+                    lowering on this hardware.
+    Returns requantized int8 or fp32.
+    """
+    if impl == "im2col":
+        from ...ops import conv_int8_im2col
+
+        return conv_int8_im2col(
+            x_s, qc["w_q"], qc["w_scale"], qc["bias"], qc["w_sum"],
+            stride=stride, padding=padding,
+            in_scale=in_scale, in_zp=zp, relu=relu,
+            out_scale=qc["out_scale"] if requant else None,
+            out_zp=qc["out_zp"] if requant else None,
+            interpret=interpret,
+        )
+    y = _epilogue(_qconv_int8(x_s, zp, qc, stride, padding), in_scale, qc, relu=relu)
+    if requant:
+        return _requant(y, qc["out_scale"], qc["out_zp"])
+    return y
+
+
+def apply_int8(spec: ResNetSpec, q, x, *, impl: str = "lax", interpret: bool = False):
     """Static-INT8 inference: fp32 images → logits. One XLA program; every
-    conv is int8 on the MXU, epilogues are fused VPU fp32."""
+    conv is int8 on the MXU, epilogues are fused VPU fp32.
+
+    ``impl`` selects the conv backend per _conv_q (XLA lax vs Pallas im2col).
+    """
     in_scale, in_zp = q["input"]["scale"], q["input"]["zp"]
     x_s = quantize_affine_shifted(x, in_scale, in_zp)
 
-    stem = q["stem"]
-    acc = _qconv_int8(x_s, in_zp, stem, 2, 3)
-    y = _epilogue(acc, in_scale, stem, relu=True)
-    cur = _requant(y, stem["out_scale"], stem["out_zp"])
-    cur_scale, cur_zp = stem["out_scale"], stem["out_zp"]
+    kw = dict(impl=impl, interpret=interpret)
+    cur = _conv_q(x_s, in_zp, in_scale, q["stem"], 2, 3, relu=True, requant=True, **kw)
+    cur_scale, cur_zp = q["stem"]["out_scale"], q["stem"]["out_zp"]
     cur = _max_pool(cur, jnp.int8(-128))  # monotonic: exact in q-domain
 
     for s, depth in enumerate(spec.depths):
@@ -257,28 +284,20 @@ def apply_int8(spec: ResNetSpec, q, x):
             in_s, in_z = cur_scale, cur_zp
             x_in = cur
             if spec.block == "basic":
-                a = _epilogue(_qconv_int8(x_in, in_z, blk["conv1"], stride, 1), in_s, blk["conv1"], relu=True)
-                a_q = _requant(a, blk["conv1"]["out_scale"], blk["conv1"]["out_zp"])
-                h = _epilogue(
-                    _qconv_int8(a_q, blk["conv1"]["out_zp"], blk["conv2"], 1, 1),
-                    blk["conv1"]["out_scale"], blk["conv2"], relu=False,
-                )
+                a_q = _conv_q(x_in, in_z, in_s, blk["conv1"], stride, 1,
+                              relu=True, requant=True, **kw)
+                h = _conv_q(a_q, blk["conv1"]["out_zp"], blk["conv1"]["out_scale"],
+                            blk["conv2"], 1, 1, relu=False, requant=False, **kw)
             else:
-                a = _epilogue(_qconv_int8(x_in, in_z, blk["conv1"], 1, 0), in_s, blk["conv1"], relu=True)
-                a_q = _requant(a, blk["conv1"]["out_scale"], blk["conv1"]["out_zp"])
-                bmid = _epilogue(
-                    _qconv_int8(a_q, blk["conv1"]["out_zp"], blk["conv2"], stride, 1),
-                    blk["conv1"]["out_scale"], blk["conv2"], relu=True,
-                )
-                b_q = _requant(bmid, blk["conv2"]["out_scale"], blk["conv2"]["out_zp"])
-                h = _epilogue(
-                    _qconv_int8(b_q, blk["conv2"]["out_zp"], blk["conv3"], 1, 0),
-                    blk["conv2"]["out_scale"], blk["conv3"], relu=False,
-                )
+                a_q = _conv_q(x_in, in_z, in_s, blk["conv1"], 1, 0,
+                              relu=True, requant=True, **kw)
+                b_q = _conv_q(a_q, blk["conv1"]["out_zp"], blk["conv1"]["out_scale"],
+                              blk["conv2"], stride, 1, relu=True, requant=True, **kw)
+                h = _conv_q(b_q, blk["conv2"]["out_zp"], blk["conv2"]["out_scale"],
+                            blk["conv3"], 1, 0, relu=False, requant=False, **kw)
             if "down" in blk:
-                identity = _epilogue(
-                    _qconv_int8(x_in, in_z, blk["down"], stride, 0), in_s, blk["down"], relu=False
-                )
+                identity = _conv_q(x_in, in_z, in_s, blk["down"], stride, 0,
+                                   relu=False, requant=False, **kw)
             else:
                 identity = dequantize_affine_shifted(x_in, in_s, in_z)
             t = jax.nn.relu(h + identity)

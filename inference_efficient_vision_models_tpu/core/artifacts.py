@@ -53,13 +53,23 @@ def save_checkpoint(
     state: Any = None,
     spec: Any = None,
     extra: Optional[Dict[str, Any]] = None,
+    opt: Any = None,
+    meta: Optional[Dict[str, Any]] = None,
 ) -> str:
-    """Serialize ``{'params':…, 'state':…}`` to msgpack + spec JSON."""
+    """Serialize ``{'params', 'state'[, 'opt', 'meta']}`` to msgpack + spec JSON.
+
+    ``opt``/``meta`` (optimizer state, epoch counters) make the checkpoint
+    resumable after preemption — the reference always restarted from scratch
+    (SURVEY.md §5 checkpoint/resume)."""
     os.makedirs(fold_dir, exist_ok=True)
     bundle = {
         "params": jax.device_get(params),
         "state": jax.device_get(state) if state is not None else {},
     }
+    if opt is not None:
+        bundle["opt"] = jax.device_get(opt)
+    if meta is not None:
+        bundle["meta"] = {k: np.asarray(v) for k, v in meta.items()}
     path = _ckpt_path(fold_dir, which)
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(bundle))

@@ -63,9 +63,16 @@ class BaseConfig:
         self.test_ckpt_type = "best"  # 'best' or 'last'
 
         self.data_dir = os.path.join(_repo_root(), "data", "NEU-DET")
-        self.output_root = os.path.join(_repo_root(), "output", self.stage_name)
+        # All stages hang off one artifacts root: <artifacts_root>/<stage>/<exp>/
+        # (the reference used per-stage relative paths that required cd-ing
+        # into the stage directory; one root fixes that and makes cross-stage
+        # chaining overridable for tests).
+        self.artifacts_root = os.path.join(_repo_root(), "output")
+        self.output_root = None  # derived after kwargs unless overridden
         self.seed = 42
         self.num_workers = 2  # host-side decode threads
+        self.resume = False  # continue an interrupted run from model_last
+        self.profile_dir = None  # write jax.profiler traces here when set
 
         # TPU-specific knobs (no reference equivalent)
         self.compute_dtype = "bfloat16"  # matmul/conv compute dtype under jit
@@ -84,8 +91,11 @@ class BaseConfig:
             if hasattr(self, key):
                 setattr(self, key, value)
 
+        if self.output_root is None:
+            self.output_root = os.path.join(self.artifacts_root, self.stage_name)
         self.output_dir = os.path.join(self.output_root, self.experiment_name)
         os.makedirs(self.output_dir, exist_ok=True)
+        self._resolve_paths()
 
         if self.DEBUG_MODE:
             self._debug_shrink()
@@ -93,6 +103,13 @@ class BaseConfig:
     # -- hooks -------------------------------------------------------------
     def _stage_defaults(self):
         """Stage-specific fields; set before kwargs override."""
+
+    def _resolve_paths(self):
+        """Derive cross-stage source paths from artifacts_root (post-kwargs);
+        fields explicitly overridden by the user are left untouched."""
+
+    def stage_path(self, stage: str, exp: str) -> str:
+        return os.path.join(self.artifacts_root, stage, exp)
 
     def _debug_shrink(self):
         """DEBUG_MODE shrink (reference `teacher_config.py:51-54`)."""
@@ -139,14 +156,14 @@ class KDConfig(BaseConfig):
         self.learning_rate = 1e-4
         self.epochs = 2
         self.teacher_checkpoint: Optional[str] = None
-        self.teacher_exp_path = os.path.join(
-            _repo_root(), "output", "teacher_training", self.teacher_exp_name
-        )
+        self.teacher_exp_path: Optional[str] = None
+
+    def _resolve_paths(self):
+        if self.teacher_exp_path is None:
+            self.teacher_exp_path = self.stage_path("teacher_training", self.teacher_exp_name)
 
     def resolve_teacher_path(self) -> str:
-        return os.path.join(
-            _repo_root(), "output", "teacher_training", self.teacher_exp_name
-        )
+        return self.teacher_exp_path
 
 
 class PruningConfig(BaseConfig):
@@ -168,12 +185,13 @@ class PruningConfig(BaseConfig):
         self.finetune_epochs = 0
         self.learning_rate = 1e-5
         self.batch_size = 64
+        self.student_exp_path: Optional[str] = None
 
-    @property
-    def student_exp_path(self) -> str:
-        return os.path.join(
-            _repo_root(), "output", "knowledge_distillation", self.source_exp_name
-        )
+    def _resolve_paths(self):
+        if self.student_exp_path is None:
+            self.student_exp_path = self.stage_path(
+                "knowledge_distillation", self.source_exp_name
+            )
 
     def _debug_shrink(self):
         # Reference `p_config.py:69-72`
@@ -204,19 +222,16 @@ class QuantConfig(BaseConfig):
         self.calibration_images = 256
         self.methods = ("static_int8", "dynamic_int8", "fp16")
         self.fold_id = 0
+        self.teacher_exp_path: Optional[str] = None
+        self.student_exp_path: Optional[str] = None
+        self.pruning_exp_path: Optional[str] = None
 
-    @property
-    def teacher_exp_path(self) -> str:
-        return os.path.join(
-            _repo_root(), "output", "teacher_training", self.teacher_exp_name
-        )
-
-    @property
-    def student_exp_path(self) -> str:
-        return os.path.join(
-            _repo_root(), "output", "knowledge_distillation", self.student_exp_name
-        )
-
-    @property
-    def pruning_exp_path(self) -> str:
-        return os.path.join(_repo_root(), "output", "pruning", self.pruning_exp_name)
+    def _resolve_paths(self):
+        if self.teacher_exp_path is None:
+            self.teacher_exp_path = self.stage_path("teacher_training", self.teacher_exp_name)
+        if self.student_exp_path is None:
+            self.student_exp_path = self.stage_path(
+                "knowledge_distillation", self.student_exp_name
+            )
+        if self.pruning_exp_path is None:
+            self.pruning_exp_path = self.stage_path("pruning", self.pruning_exp_name)

@@ -1,0 +1,88 @@
+"""ctypes binding for the native C++ batch decoder (native/dataloader.cpp).
+
+Builds the shared library on first use (g++, cached next to the source);
+decodes BMP batches with a thread pool directly into the resident NHWC
+uint8 array. Non-BMP files (or a missing toolchain) fall back to the PIL
+path in data/neudet.py — behavior is identical, only faster.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _native_dir() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native",
+    )
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    src = os.path.join(_native_dir(), "dataloader.cpp")
+    so = os.path.join(_native_dir(), "libievmloader.so")
+    if not os.path.exists(src):
+        return None
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        cmd = [
+            "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+            "-o", so, src, "-lpthread",
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except (subprocess.SubprocessError, OSError):
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.ievm_decode_batch.restype = ctypes.c_int
+    lib.ievm_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+    ]
+    lib.ievm_decode_one.restype = ctypes.c_int
+    lib.ievm_decode_one.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+    ]
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    with _LOCK:
+        if not _TRIED:
+            _LIB = _build_and_load()
+            _TRIED = True
+        return _LIB
+
+
+def decode_batch_native(
+    paths: List[str], size: Tuple[int, int], num_threads: int = 8
+) -> Tuple[np.ndarray, np.ndarray]:
+    """→ (images uint8 [N,H,W,3], ok mask bool [N]); raises if lib unavailable."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    h, w = size
+    n = len(paths)
+    out = np.empty((n, h, w, 3), dtype=np.uint8)
+    status = np.zeros(n, dtype=np.uint8)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.ievm_decode_batch(
+        c_paths, n, w, h,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        num_threads,
+    )
+    return out, status.astype(bool)

@@ -57,10 +57,22 @@ def _decode_resize(path: str, size: Tuple[int, int]) -> np.ndarray:
 
 
 def load_images(paths: List[str], size: Tuple[int, int], num_workers: int = 8) -> np.ndarray:
-    out = np.empty((len(paths), size[0], size[1], 3), dtype=np.uint8)
-    with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as ex:
-        for i, arr in enumerate(ex.map(lambda p: _decode_resize(p, size), paths)):
-            out[i] = arr
+    """Decode + resize all images. Tries the native C++ batch decoder first
+    (BMP fast path, native/dataloader.cpp); PIL covers the rest."""
+    try:
+        from .native_loader import decode_batch_native
+
+        out, ok = decode_batch_native(paths, size, num_threads=max(num_workers, 1) * 4)
+        misses = np.flatnonzero(~ok)
+    except (RuntimeError, OSError):
+        out = np.empty((len(paths), size[0], size[1], 3), dtype=np.uint8)
+        misses = np.arange(len(paths))
+    if len(misses):
+        with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as ex:
+            for i, arr in zip(
+                misses, ex.map(lambda p: _decode_resize(p, size), [paths[i] for i in misses])
+            ):
+                out[i] = arr
     return out
 
 

@@ -67,14 +67,18 @@ def train_classifier(
     epochs: Optional[int] = None,
     learning_rate: Optional[float] = None,
     save: bool = True,
+    resume: Optional[bool] = None,
 ):
     """Train with best-val tracking; returns (params, state, history).
 
     ``teacher`` switches the step to knowledge distillation with
-    cfg.alpha / cfg.temperature.
+    cfg.alpha / cfg.temperature. ``resume`` (or cfg.resume) continues an
+    interrupted run from the last checkpoint incl. optimizer state —
+    preemption recovery the reference lacked (it always restarted).
     """
     epochs = epochs if epochs is not None else cfg.epochs
     lr = learning_rate if learning_rate is not None else cfg.learning_rate
+    resume = getattr(cfg, "resume", False) if resume is None else resume
 
     train_loader = Batches(
         train_data[0], train_data[1], cfg.batch_size, shuffle=True, seed=cfg.seed
@@ -99,13 +103,32 @@ def train_classifier(
         extra = (t_params, t_state)
     eval_step = steps_mod.make_eval_step(spec, compute_dtype=cfg.compute_dtype)
 
+    history = {"train_loss": [], "train_acc": [], "val_loss": [], "val_acc": [], "epoch_time": []}
+    best_acc, start_epoch = -1.0, 0
+    opt = None
+    if resume and artifacts.checkpoint_exists(fold_dir, artifacts.LAST):
+        raw = artifacts.load_checkpoint_raw(fold_dir, artifacts.LAST)
+        if "meta" in raw and "opt" in raw:
+            from .optim import AdamWState
+
+            params, state = raw["params"], raw["state"]
+            opt = AdamWState(**raw["opt"])
+            start_epoch = int(raw["meta"]["epoch"]) + 1
+            best_acc = float(raw["meta"]["best_acc"])
+            history = artifacts.load_training_log(fold_dir) or history
+            logger.info(
+                "resuming from epoch %d (best val acc %.2f%%)", start_epoch, best_acc * 100
+            )
+
     params, state = device_materialize((params, state))
-    opt = adamw_init(params)
+    if opt is None:
+        opt = adamw_init(params)
+    else:
+        opt = device_materialize(opt)
     carry = (params, state, opt)
 
-    history = {"train_loss": [], "train_acc": [], "val_loss": [], "val_acc": [], "epoch_time": []}
-    best_acc, best = -1.0, None
-    for epoch in range(epochs):
+    best = None
+    for epoch in range(start_epoch, epochs):
         carry, tr_loss, tr_acc, secs = _run_epoch(
             step, carry, train_loader, extra, cfg.DEBUG_MODE
         )
@@ -127,10 +150,20 @@ def train_classifier(
                 logger.info("new best val acc %.2f%% → model_best", best_acc * 100)
         if save:
             artifacts.save_checkpoint(
-                fold_dir, artifacts.LAST, carry[0], carry[1], spec
+                fold_dir, artifacts.LAST, carry[0], carry[1], spec,
+                opt=carry[2], meta={"epoch": epoch, "best_acc": best_acc},
             )
             artifacts.save_training_log(fold_dir, history)
 
-    if best is None:  # epochs == 0
-        best = (jax.device_get(carry[0]), jax.device_get(carry[1]))
+    if save and history["train_loss"]:
+        from ..metrics.plots import plot_training_curves
+
+        plot_training_curves(fold_dir, history, title=spec.name)
+
+    if best is None:  # epochs == 0 or resumed past the best epoch
+        if resume and best_acc >= 0 and artifacts.checkpoint_exists(fold_dir, artifacts.BEST):
+            raw = artifacts.load_checkpoint_raw(fold_dir, artifacts.BEST)
+            best = (raw["params"], raw["state"])
+        else:
+            best = (jax.device_get(carry[0]), jax.device_get(carry[1]))
     return best[0], best[1], history

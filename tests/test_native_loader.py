@@ -1,0 +1,72 @@
+"""Native C++ BMP decoder tests: build, decode parity vs PIL, fallback."""
+
+import os
+
+import numpy as np
+import pytest
+
+from inference_efficient_vision_models_tpu.data.native_loader import (
+    decode_batch_native,
+    get_lib,
+)
+from inference_efficient_vision_models_tpu.data.neudet import load_images
+
+
+def _write_bmps(tmp_path, n=6, size=50, mode="L"):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(n):
+        if mode == "L":
+            arr = rng.integers(0, 255, (size, size), dtype=np.uint8)
+        else:
+            arr = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+        p = str(tmp_path / f"img_{i}.bmp")
+        Image.fromarray(arr, mode=mode).save(p)
+        paths.append(p)
+    return paths
+
+
+def test_native_lib_builds():
+    assert get_lib() is not None, "g++ build of native/dataloader.cpp failed"
+
+
+@pytest.mark.parametrize("mode", ["L", "RGB"])
+def test_native_decode_matches_pil_no_resize(tmp_path, mode):
+    from PIL import Image
+
+    paths = _write_bmps(tmp_path, n=4, size=64, mode=mode)
+    out, ok = decode_batch_native(paths, (64, 64))
+    assert ok.all()
+    for i, p in enumerate(paths):
+        ref = np.asarray(Image.open(p).convert("RGB"))
+        np.testing.assert_array_equal(out[i], ref)
+
+
+def test_native_resize_close_to_pil(tmp_path):
+    from PIL import Image
+
+    paths = _write_bmps(tmp_path, n=2, size=200, mode="L")
+    out, ok = decode_batch_native(paths, (224, 224))
+    assert ok.all()
+    for i, p in enumerate(paths):
+        ref = np.asarray(
+            Image.open(p).convert("RGB").resize((224, 224), Image.BILINEAR)
+        )
+        # upscale bilinear: same algorithm, off-by-rounding tolerated
+        assert np.mean(np.abs(out[i].astype(int) - ref.astype(int))) < 2.0
+
+
+def test_load_images_falls_back_for_png(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    png = str(tmp_path / "x.png")
+    Image.fromarray(arr).save(png)
+    bmp = str(tmp_path / "y.bmp")
+    Image.fromarray(arr).save(bmp)
+    out = load_images([png, bmp], (32, 32))
+    np.testing.assert_array_equal(out[0], arr)
+    np.testing.assert_array_equal(out[1], arr)

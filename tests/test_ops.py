@@ -1,0 +1,83 @@
+"""Pallas int8 kernel tests (interpret mode on the CPU backend) against a
+numpy reference of the exact quantized semantics."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from inference_efficient_vision_models_tpu.ops import (
+    conv_int8_im2col,
+    int8_matmul_requant,
+)
+
+
+def _ref_matmul(x_s, w_q, w_scale, bias, in_scale, in_zp, relu, out_scale, out_zp):
+    zp_s = in_zp - 128
+    acc = x_s.astype(np.int32) @ w_q.astype(np.int32)
+    acc = acc - zp_s * w_q.astype(np.int32).sum(axis=0)
+    y = acc.astype(np.float32) * (in_scale * w_scale) + bias
+    if relu:
+        y = np.maximum(y, 0.0)
+    if out_scale is None:
+        return y
+    q = np.round(y / out_scale) + out_zp
+    return (np.clip(q, 0, 255) - 128).astype(np.int8)
+
+
+@pytest.mark.parametrize("relu,requant", [(False, False), (True, True), (False, True)])
+def test_int8_matmul_requant_matches_reference(relu, requant):
+    rng = np.random.default_rng(0)
+    M, K, N = 96, 72, 160
+    x_s = rng.integers(-128, 128, (M, K), dtype=np.int8)
+    w_q = rng.integers(-128, 128, (K, N), dtype=np.int8)
+    w_scale = rng.uniform(0.001, 0.01, N).astype(np.float32)
+    bias = rng.standard_normal(N).astype(np.float32)
+    w_sum = w_q.astype(np.int32).sum(axis=0)
+    in_scale, in_zp = 0.05, 13
+    out_scale, out_zp = (0.07, 122) if requant else (None, None)
+
+    got = np.asarray(int8_matmul_requant(
+        jnp.asarray(x_s), jnp.asarray(w_q),
+        jnp.asarray(w_scale), jnp.asarray(bias), jnp.asarray(w_sum),
+        in_scale=in_scale, in_zp=in_zp, relu=relu,
+        out_scale=out_scale, out_zp=out_zp,
+        block_m=32, block_n=128, interpret=True,
+    ))
+    ref = _ref_matmul(x_s, w_q, w_scale, bias, in_scale, in_zp, relu, out_scale, out_zp)
+    if requant:
+        # rounding at the int8 boundary may differ by 1 ulp on ties
+        assert np.abs(got.astype(np.int32) - ref.astype(np.int32)).max() <= 1
+        assert (got == ref).mean() > 0.99
+    else:
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("stride,padding,k", [(1, 1, 3), (2, 1, 3), (1, 0, 1), (2, 0, 1)])
+def test_conv_im2col_matches_qresnet_conv(stride, padding, k):
+    """im2col int8 conv ≡ the lax-conv int8 path in qresnet."""
+    from inference_efficient_vision_models_tpu.compress.quant.qresnet import (
+        _epilogue,
+        _qconv_int8,
+    )
+
+    rng = np.random.default_rng(1)
+    x_s = rng.integers(-128, 128, (2, 14, 14, 32), dtype=np.int8)
+    w_q = rng.integers(-128, 128, (k, k, 32, 64), dtype=np.int8)
+    qc = {
+        "w_q": jnp.asarray(w_q),
+        "w_scale": jnp.asarray(rng.uniform(0.001, 0.01, 64).astype(np.float32)),
+        "w_sum": jnp.asarray(w_q.astype(np.int32).sum(axis=(0, 1, 2))),
+        "bias": jnp.asarray(rng.standard_normal(64).astype(np.float32)),
+    }
+    in_scale, in_zp = np.float32(0.04), np.int32(140)
+
+    acc = _qconv_int8(jnp.asarray(x_s), in_zp, qc, stride, padding)
+    ref = np.asarray(_epilogue(acc, in_scale, qc, relu=True))
+
+    got = np.asarray(conv_int8_im2col(
+        jnp.asarray(x_s), qc["w_q"], qc["w_scale"], qc["bias"], qc["w_sum"],
+        stride=stride, padding=padding,
+        in_scale=float(in_scale), in_zp=int(in_zp), relu=True,
+        out_scale=None, out_zp=None, interpret=True,
+    ))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-3)
