@@ -14,7 +14,7 @@ from ..core import TeacherConfig, artifacts
 from ..core.prng import key_for
 from ..data.pipeline import Batches
 from ..metrics.report import summarize_folds
-from ..models import create_model, make_spec, ResNetSpec
+from ..models import create_model, make_spec
 from ..models.registry import SpecLike
 from ..train import make_eval_step, train_classifier
 from ..train.loop import evaluate
@@ -26,7 +26,9 @@ def load_stage_model(fold_dir: str, which: str):
     spec_dict = artifacts.load_spec_dict(fold_dir, which)
     if spec_dict is None:
         raise FileNotFoundError(f"no spec JSON in {fold_dir}")
-    spec = ResNetSpec.from_dict(spec_dict)
+    from ..models.registry import spec_from_dict
+
+    spec = spec_from_dict(spec_dict)
     raw = artifacts.load_checkpoint_raw(fold_dir, which)
     return spec, raw["params"], raw["state"]
 

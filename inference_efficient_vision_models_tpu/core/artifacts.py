@@ -74,7 +74,12 @@ def save_checkpoint(
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(bundle))
     if spec is not None:
-        spec_dict = dataclasses.asdict(spec) if dataclasses.is_dataclass(spec) else dict(spec)
+        if hasattr(spec, "to_dict"):
+            spec_dict = spec.to_dict()
+        elif dataclasses.is_dataclass(spec):
+            spec_dict = dataclasses.asdict(spec)
+        else:
+            spec_dict = dict(spec)
         if extra:
             spec_dict = {**spec_dict, "__extra__": extra}
         with open(_spec_path(fold_dir, which), "w") as f:

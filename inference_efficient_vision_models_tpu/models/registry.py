@@ -10,18 +10,43 @@ from typing import Any, Dict, Tuple, Union
 
 import jax
 
-from . import resnet
+from . import resnet, vit
+from .vit import ViTSpec, vit_spec
 from .widths import ResNetSpec, resnet_spec
 
-SpecLike = Union[str, Dict, ResNetSpec]
+SpecLike = Union[str, Dict, ResNetSpec, ViTSpec]
 
 
-def make_spec(model: SpecLike, num_classes: int = 6, in_chans: int = 3) -> ResNetSpec:
-    if isinstance(model, ResNetSpec):
+def spec_from_dict(d: Dict):
+    """Spec-JSON → the right spec dataclass (vit dicts carry __kind__)."""
+    if d.get("__kind__") == "vit" or "patch" in d:
+        return ViTSpec.from_dict(d)
+    return ResNetSpec.from_dict(d)
+
+
+def make_spec(model: SpecLike, num_classes: int = 6, in_chans: int = 3):
+    if isinstance(model, (ResNetSpec, ViTSpec)):
         return model
     if isinstance(model, dict):
-        return ResNetSpec.from_dict(model)
+        return spec_from_dict(model)
+    if model.startswith("vit_"):
+        return vit_spec(model, num_classes=num_classes)
     return resnet_spec(model, num_classes=num_classes, in_chans=in_chans)
+
+
+def model_module(spec):
+    """The functional module (init/apply/param_count) for a spec."""
+    return vit if isinstance(spec, ViTSpec) else resnet
+
+
+def apply_model(spec, params, state, x, *, train=False, compute_dtype=None, **kw):
+    """Model-generic forward used by the train/eval steps."""
+    import jax.numpy as jnp
+
+    dtype = compute_dtype if compute_dtype is not None else jnp.float32
+    return model_module(spec).apply(
+        spec, params, state, x, train=train, compute_dtype=dtype, **kw
+    )
 
 
 def create_model(
@@ -41,8 +66,8 @@ def create_model(
     spec = make_spec(model, num_classes=num_classes)
     if key is None:
         key = jax.random.PRNGKey(0)
-    params, state = resnet.init(key, spec)
-    if pretrained:
+    params, state = model_module(spec).init(key, spec)
+    if pretrained and isinstance(spec, ResNetSpec):
         try:
             from .torch_import import load_torchvision_pretrained
 

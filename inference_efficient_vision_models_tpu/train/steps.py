@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data.pipeline import normalize_images
-from ..models import resnet
+from ..models.registry import apply_model
 from ..parallel import mesh as pmesh
 from .losses import cross_entropy, kd_loss, masked_accuracy
 from .optim import adamw_update
@@ -40,7 +40,7 @@ def make_train_step(spec, *, learning_rate, compute_dtype="bfloat16", mesh=None,
         x = normalize_images(imgs_u8, cdt)
 
         def loss_fn(p):
-            logits, new_state = resnet.apply(
+            logits, new_state = apply_model(
                 spec, p, state, x, train=True, compute_dtype=cdt
             )
             loss = cross_entropy(logits, labels, mask)
@@ -84,14 +84,14 @@ def make_kd_train_step(
     def step(params, state, opt, teacher_params, teacher_state, batch):
         imgs_u8, labels, mask = batch
         x = normalize_images(imgs_u8, cdt)
-        teacher_logits, _ = resnet.apply(
+        teacher_logits, _ = apply_model(
             teacher_spec, teacher_params, teacher_state, x, train=False,
             compute_dtype=cdt,
         )
         teacher_logits = jax.lax.stop_gradient(teacher_logits)
 
         def loss_fn(p):
-            logits, new_state = resnet.apply(
+            logits, new_state = apply_model(
                 student_spec, p, state, x, train=True, compute_dtype=cdt
             )
             total, ce, kd = kd_loss(
@@ -123,7 +123,7 @@ def make_eval_step(spec, *, compute_dtype="float32", mesh=None, apply_fn=None):
     quantized/custom forwards reuse the same harness."""
     cdt = _dtype(compute_dtype)
     fwd = apply_fn or (
-        lambda params, state, x: resnet.apply(
+        lambda params, state, x: apply_model(
             spec, params, state, x, train=False, compute_dtype=cdt
         )[0]
     )
