@@ -23,13 +23,31 @@ from . import steps as steps_mod
 from .optim import adamw_init
 
 
-def _run_epoch(step_fn, carry, loader, extra_args=(), debug_mode=False):
+def _maybe_mesh(cfg):
+    """Data-parallel mesh over all local devices (None on a single chip)."""
+    import jax
+
+    if jax.device_count() <= 1:
+        return None
+    from ..parallel import make_mesh
+
+    return make_mesh(model_parallel=1)
+
+
+def _run_epoch(step_fn, carry, loader, extra_args=(), debug_mode=False, mesh=None):
     """Drive one epoch; returns (carry, mean_loss, mean_acc, seconds)."""
     t0 = time.time()
     tot_loss = tot_acc = tot_n = 0.0
+    place = None
+    if mesh is not None:
+        from ..parallel import shard_batch
+
+        place = lambda b: shard_batch(mesh, b)  # noqa: E731
     for i, batch in enumerate(loader):
         if debug_mode and i == 2:
             break
+        if place is not None:
+            batch = place(batch)
         params, state, opt = carry
         params, state, opt, m = step_fn(params, state, opt, *extra_args, batch)
         carry = (params, state, opt)
@@ -79,6 +97,13 @@ def train_classifier(
     epochs = epochs if epochs is not None else cfg.epochs
     lr = learning_rate if learning_rate is not None else cfg.learning_rate
     resume = getattr(cfg, "resume", False) if resume is None else resume
+
+    mesh = _maybe_mesh(cfg)
+    if mesh is not None:
+        logger.info(
+            "data-parallel over %d devices (mesh %s)",
+            mesh.devices.size, dict(zip(mesh.axis_names, mesh.devices.shape)),
+        )
 
     train_loader = Batches(
         train_data[0], train_data[1], cfg.batch_size, shuffle=True, seed=cfg.seed
@@ -130,7 +155,7 @@ def train_classifier(
     best = None
     for epoch in range(start_epoch, epochs):
         carry, tr_loss, tr_acc, secs = _run_epoch(
-            step, carry, train_loader, extra, cfg.DEBUG_MODE
+            step, carry, train_loader, extra, cfg.DEBUG_MODE, mesh=mesh
         )
         val = evaluate(eval_step, carry[0], carry[1], val_loader, cfg.DEBUG_MODE)
         history["train_loss"].append(tr_loss)
