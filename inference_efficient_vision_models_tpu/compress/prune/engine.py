@@ -242,6 +242,7 @@ class StructuredPruningEngine:
 
         params, state = device_materialize((self.params, self.state))
         eval_step = make_eval_step(self.spec, compute_dtype=self.cfg.compute_dtype)
+        self.logger.info("%s: evaluating accuracy (first batch compiles)...", tag)
         res = evaluate(
             eval_step, params, state,
             Batches(test_d[0], test_d[1], self.cfg.batch_size),
@@ -254,6 +255,7 @@ class StructuredPruningEngine:
         )
         h, w = self.cfg.image_size
         x1 = jnp.zeros((1, h, w, 3), jnp.uint8)
+        self.logger.info("%s: measuring batch-1 latency + FLOPs...", tag)
         lat = latency_ms(fwd, params, state, x1)
         flops = flops_of(fwd, params, state, x1)
         metrics = {

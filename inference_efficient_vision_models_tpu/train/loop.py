@@ -43,7 +43,8 @@ def _run_epoch(step_fn, carry, loader, extra_args=(), debug_mode=False, mesh=Non
         from ..parallel import shard_batch
 
         place = lambda b: shard_batch(mesh, b)  # noqa: E731
-    for i, batch in enumerate(loader):
+    bar = _progress(loader)
+    for i, batch in enumerate(bar):
         if debug_mode and i == 2:
             break
         if place is not None:
@@ -55,7 +56,24 @@ def _run_epoch(step_fn, carry, loader, extra_args=(), debug_mode=False, mesh=Non
         tot_loss += float(m["loss"]) * n
         tot_acc += float(m["acc"]) * n
         tot_n += n
+        if hasattr(bar, "set_postfix"):
+            bar.set_postfix(loss=f"{tot_loss / max(tot_n, 1):.4f}")
     return carry, tot_loss / max(tot_n, 1), tot_acc / max(tot_n, 1), time.time() - t0
+
+
+def _progress(loader):
+    """tqdm bar on interactive terminals (reference wraps every loop in tqdm,
+    `teacher_training/train.py:19`); plain iteration otherwise."""
+    import sys
+
+    if not sys.stderr.isatty():
+        return loader
+    try:
+        from tqdm import tqdm
+
+        return tqdm(loader, total=len(loader), leave=False)
+    except ImportError:
+        return loader
 
 
 def evaluate(eval_step, params, state, loader, debug_mode=False) -> Dict[str, float]:
