@@ -13,15 +13,11 @@ reduction inserted by XLA as ``psum`` over ICI.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
 from ..data.pipeline import normalize_images
 from ..models.registry import apply_model
-from ..parallel import mesh as pmesh
 from .losses import cross_entropy, kd_loss, masked_accuracy
 from .optim import adamw_update
 
