@@ -63,7 +63,8 @@ def main():
     qmodel, _ = eng.static_quantize((calib_imgs, calib_labels))
     qmodel = device_materialize(qmodel)
 
-    fwd = jax.jit(lambda q, x: qresnet.apply_int8(pspec, q, normalize_images(x)))
+    # raw uint8 in: normalization is folded into the int8 stem conv
+    fwd = jax.jit(lambda q, x: qresnet.apply_int8(pspec, q, x))
     x = jnp.asarray(
         np.random.default_rng(0).integers(0, 255, (BATCH, 224, 224, 3)), jnp.uint8
     )
@@ -97,7 +98,7 @@ def main():
     xt = normalize_images(jnp.asarray(test_imgs))
     folded = device_materialize(eng.folded)
     ref = np.asarray(jax.jit(lambda m, x: qresnet.apply_folded(pspec, m, x))(folded, xt))
-    got = np.asarray(fwd(qmodel, jnp.asarray(test_imgs)))
+    got = np.asarray(fwd(qmodel, jnp.asarray(test_imgs)))  # u8 in
     agree = float((ref.argmax(1) == got.argmax(1)).mean())
 
     print(json.dumps({

@@ -79,16 +79,20 @@ def run_quantize(cfg, logger, data, split):
                 continue
             try:
                 model, fn = methods[method]()
-                if fn is None:  # fp32 baseline forward
+                if fn is None:  # fp32 baseline forward (raw u8 in, like all fns)
                     import functools
                     import jax
 
                     from ..compress.quant import qresnet
-
-                    spec_ = spec
-                    jfn = jax.jit(lambda m, x: qresnet.apply_folded(spec_, m, x))
+                    from ..data.pipeline import normalize_images
                     from ..utils import device_materialize
 
+                    spec_ = spec
+                    jfn = jax.jit(
+                        lambda m, x_u8: qresnet.apply_folded(
+                            spec_, m, normalize_images(x_u8)
+                        )
+                    )
                     model = device_materialize(model)
                     fn = functools.partial(jfn, model)
                 acc = engine.evaluate_accuracy(fn, test_d)

@@ -63,10 +63,12 @@ class QuantizationEngine:
         self.folded = fold_conv_bn(spec, params, state)
 
     # -- conversions -------------------------------------------------------
-    def static_quantize(self, calib_data: Tuple[np.ndarray, np.ndarray]):
-        """Calibrate on ≤cfg.calibration_images then convert to int8.
+    # Every conversion returns (model, apply_fn) with apply_fn taking RAW
+    # uint8 NHWC images; preprocessing is part of each jitted graph (for the
+    # static-int8 path it is folded into the stem conv entirely).
 
-        Returns (qmodel, apply_fn(x_f32) → logits)."""
+    def static_quantize(self, calib_data: Tuple[np.ndarray, np.ndarray]):
+        """Calibrate on ≤cfg.calibration_images then convert to int8."""
         loader = Batches(calib_data[0], calib_data[1], self.cfg.batch_size)
         observers = qresnet.calibrate(
             self.spec,
@@ -74,7 +76,10 @@ class QuantizationEngine:
             loader,
             max_images=self.cfg.calibration_images,
         )
-        qmodel = qresnet.convert_static_int8(self.spec, self.folded, observers)
+        qmodel = qresnet.convert_static_int8(
+            self.spec, self.folded, observers,
+            image_size=tuple(self.cfg.image_size),
+        )
         qmodel = device_materialize(qmodel)
         spec = self.spec
         fn = jax.jit(lambda q, x: qresnet.apply_int8(spec, q, x))
@@ -95,8 +100,10 @@ class QuantizationEngine:
         model = device_materialize(model)
         spec = self.spec
 
-        def fwd(m, x):
-            feats = qresnet.apply_folded(spec, m, x, return_features=True)
+        def fwd(m, x_u8):
+            feats = qresnet.apply_folded(
+                spec, m, normalize_images(x_u8), return_features=True
+            )
             return _dynamic_fc(feats, m["fc_q"])
 
         fn = jax.jit(fwd)
@@ -113,7 +120,9 @@ class QuantizationEngine:
         model = device_materialize(model)
         spec = self.spec
         fn = jax.jit(
-            lambda m, x: qresnet.apply_folded(spec, m, x.astype(dtype)).astype(jnp.float32)
+            lambda m, x_u8: qresnet.apply_folded(
+                spec, m, normalize_images(x_u8, dtype)
+            ).astype(jnp.float32)
         )
         return model, functools.partial(fn, model)
 
@@ -124,9 +133,7 @@ class QuantizationEngine:
     def evaluate_accuracy(self, apply_fn, test_d) -> float:
         loader = Batches(test_d[0], test_d[1], self.cfg.batch_size)
         correct = n = 0.0
-        eval_fn = jax.jit(
-            lambda x: jnp.argmax(apply_fn(normalize_images(x)), axis=-1)
-        )
+        eval_fn = jax.jit(lambda x_u8: jnp.argmax(apply_fn(x_u8), axis=-1))
         for i, (imgs, labels, mask) in enumerate(loader):
             if self.cfg.DEBUG_MODE and i == 2:
                 break
@@ -137,8 +144,8 @@ class QuantizationEngine:
 
     def measure_latency(self, apply_fn, batch_size: int = 1) -> Dict[str, float]:
         h, w = self.cfg.image_size
-        x = jnp.zeros((batch_size, h, w, 3), jnp.float32)
-        fn = jax.jit(lambda x: apply_fn(normalize_images(x)))
+        x = jnp.zeros((batch_size, h, w, 3), jnp.uint8)
+        fn = jax.jit(apply_fn)
         lat = latency_ms(fn, x)
         lat["throughput_ips"] = throughput_ips(fn, x, batch_size=batch_size)
         return lat

@@ -134,6 +134,52 @@ def calibrate(
 # --------------------------------------------------------------------------
 
 
+def _folded_input_stem(spec, folded, obs_out, image_size) -> Dict:
+    """Stem conv with ImageNet-normalize folded in, consuming raw uint8.
+
+    approx(u) = s_w ⊙ conv_{pad=-128}(u − 128, Wq) + bias + E
+    where W' = W·k (k_c = 1/(255σ_c)), Wq = per-channel int8 of W', and
+    E = true(0) − (approx(0) − bias) captures the full affine offset
+    (interior: d-term + 128-shift; borders: padding mismatch). Padding with
+    −128 makes approx(0) spatially constant, so E carries all border effects.
+    """
+    from ...data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+
+    w = np.asarray(folded["conv1"]["w"], np.float32)  # (7,7,3,C)
+    b = np.asarray(folded["conv1"]["b"], np.float32)
+    k = 1.0 / (255.0 * np.asarray(IMAGENET_STD, np.float32))
+    d = -np.asarray(IMAGENET_MEAN, np.float32) / np.asarray(IMAGENET_STD, np.float32)
+    w_prime = w * k.reshape(1, 1, 3, 1)
+    w_q, w_scale = quantize_weight_per_channel(w_prime, channel_axis=3)
+
+    h, wid = image_size
+    conv_kw = dict(
+        window_strides=(2, 2),
+        padding=[(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        # true conv term at u≡0: zero-padded normalized image = d inside, 0 at pad
+        d_img = jnp.broadcast_to(jnp.asarray(d), (1, h, wid, 3))
+        true0 = lax.conv_general_dilated(d_img, jnp.asarray(w), **conv_kw)
+        # approx conv term at u≡0: x_s ≡ −128, pad −128 → constant everywhere
+        const_in = jnp.full((1, h, wid, 3), -128.0, jnp.float32)
+        approx0 = lax.conv_general_dilated(
+            const_in, jnp.asarray(w_q, jnp.float32), **conv_kw
+        ) * jnp.asarray(w_scale)
+        e = np.asarray(true0 - approx0, np.float32)
+
+    scale, zp = minmax_qparams_affine(obs_out.min, obs_out.max)
+    return {
+        "w_q": w_q,
+        "w_scale": w_scale,
+        "bias": b,
+        "e": e,  # (1, Ho, Wo, C) affine-offset map (borders differ)
+        "out_scale": np.float32(scale),
+        "out_zp": np.int32(zp),
+    }
+
+
 def _qconv_params(w, b, obs_out=None) -> Dict:
     w_q, w_scale = quantize_weight_per_channel(np.asarray(w), channel_axis=3)
     d = {
@@ -149,14 +195,30 @@ def _qconv_params(w, b, obs_out=None) -> Dict:
     return d
 
 
-def convert_static_int8(spec: ResNetSpec, folded, observers) -> Dict:
-    """Folded fp32 model + calibrated observers → int8 model pytree."""
+def convert_static_int8(
+    spec: ResNetSpec, folded, observers, *, fold_input: bool = True,
+    image_size: Tuple[int, int] = (224, 224),
+) -> Dict:
+    """Folded fp32 model + calibrated observers → int8 model pytree.
+
+    ``fold_input=True`` (default) folds the ImageNet normalization into the
+    stem conv so the network consumes RAW uint8 pixels: x_f = u·k_c + d_c is
+    affine, hence conv(x_f, W) = conv(u−128, W·k) + E where E is a
+    position-dependent constant (borders only) precomputed here. This
+    removes the fp32 normalize+quantize over the (B,H,W,3) image — measured
+    at 40% of the whole int8 forward on TPU (3-lane-minor elementwise is
+    ~3/128 efficient) — and makes the input quantization EXACT (pixels are
+    integers; scale 1, no rounding).
+    """
     q: Dict = {}
     s_in, zp_in = minmax_qparams_affine(observers["input"].min, observers["input"].max)
     q["input"] = {"scale": np.float32(s_in), "zp": np.int32(zp_in)}
-    q["stem"] = _qconv_params(
-        folded["conv1"]["w"], folded["conv1"]["b"], observers["stem"]
-    )
+    if fold_input:
+        q["stem"] = _folded_input_stem(spec, folded, observers["stem"], image_size)
+    else:
+        q["stem"] = _qconv_params(
+            folded["conv1"]["w"], folded["conv1"]["b"], observers["stem"]
+        )
     for s, depth in enumerate(spec.depths):
         lname = f"layer{s + 1}"
         q[lname] = {}
@@ -264,17 +326,34 @@ def _conv_q(x_s, zp, in_scale, qc, stride, padding, *, relu, requant, impl, inte
 
 
 def apply_int8(spec: ResNetSpec, q, x, *, impl: str = "lax", interpret: bool = False):
-    """Static-INT8 inference: fp32 images → logits. One XLA program; every
-    conv is int8 on the MXU, epilogues are fused VPU fp32.
+    """Static-INT8 inference → logits. One XLA program; every conv is int8
+    on the MXU, epilogues are fused VPU fp32.
 
+    Input: with a fold_input-converted model (stem carries "e"), ``x`` is
+    RAW uint8 images — normalization is inside the stem conv. With a legacy
+    model, ``x`` is normalized fp32 and gets affine-quantized here.
     ``impl`` selects the conv backend per _conv_q (XLA lax vs Pallas im2col).
     """
-    in_scale, in_zp = q["input"]["scale"], q["input"]["zp"]
-    x_s = quantize_affine_shifted(x, in_scale, in_zp)
-
     kw = dict(impl=impl, interpret=interpret)
-    cur = _conv_q(x_s, in_zp, in_scale, q["stem"], 2, 3, relu=True, requant=True, **kw)
-    cur_scale, cur_zp = q["stem"]["out_scale"], q["stem"]["out_zp"]
+    stem = q["stem"]
+    if "e" in stem:
+        # integer input path: u8 → u−128 (exact), pad −128, E-corrected epilogue
+        x_s = (x.astype(jnp.int32) - 128).astype(jnp.int8)
+        x_p = jnp.pad(
+            x_s, ((0, 0), (3, 3), (3, 3), (0, 0)), constant_values=jnp.int8(-128)
+        )
+        acc = lax.conv_general_dilated(
+            x_p, stem["w_q"], (2, 2), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * stem["w_scale"] + stem["bias"] + stem["e"]
+        cur = _requant(jax.nn.relu(y), stem["out_scale"], stem["out_zp"])
+    else:
+        in_scale, in_zp = q["input"]["scale"], q["input"]["zp"]
+        x_s = quantize_affine_shifted(x, in_scale, in_zp)
+        cur = _conv_q(x_s, in_zp, in_scale, stem, 2, 3, relu=True, requant=True, **kw)
+    cur_scale, cur_zp = stem["out_scale"], stem["out_zp"]
     cur = _max_pool(cur, jnp.int8(-128))  # monotonic: exact in q-domain
 
     for s, depth in enumerate(spec.depths):

@@ -31,7 +31,7 @@ def test_im2col_impl_matches_lax():
     eng = QuantizationEngine(cfg, spec, params, state, logging.getLogger("q"))
     qmodel, _ = eng.static_quantize((imgs, np.zeros(32, np.int32)))
 
-    x = normalize_images(jnp.asarray(imgs[:4]))
+    x = jnp.asarray(imgs[:4])  # raw u8: stem carries the folded normalize
     ref = np.asarray(qresnet.apply_int8(spec, qmodel, x, impl="lax"))
     got = np.asarray(
         qresnet.apply_int8(spec, qmodel, x, impl="im2col", interpret=True)

@@ -102,7 +102,7 @@ def test_static_int8_close_to_fp32():
 
     x = normalize_images(jnp.asarray(imgs[:8]))
     ref = np.asarray(qresnet.apply_folded(spec, eng.folded, x))
-    got = np.asarray(q_fn(x))
+    got = np.asarray(q_fn(jnp.asarray(imgs[:8])))  # static path takes raw u8
     # int8 logits track fp32 within quantization noise; argmax mostly agrees
     err = np.abs(got - ref) / (np.abs(ref).max() + 1e-6)
     assert err.max() < 0.25, err.max()
@@ -122,11 +122,13 @@ def test_dynamic_int8_fc_close_to_fp32():
     cfg = _Cfg()
     eng = QuantizationEngine(cfg, spec, params, state, logging.getLogger("q"))
     model, fn = eng.dynamic_quantize()
-    x = jnp.asarray(
-        np.random.default_rng(4).standard_normal((4, 64, 64, 3)), jnp.float32
+    imgs = np.random.default_rng(4).integers(0, 255, (4, 64, 64, 3)).astype(np.uint8)
+    from inference_efficient_vision_models_tpu.data.pipeline import normalize_images
+
+    ref = np.asarray(
+        qresnet.apply_folded(spec, eng.folded, normalize_images(jnp.asarray(imgs)))
     )
-    ref = np.asarray(qresnet.apply_folded(spec, eng.folded, x))
-    got = np.asarray(fn(x))
+    got = np.asarray(fn(jnp.asarray(imgs)))
     np.testing.assert_allclose(got, ref, rtol=0.1, atol=0.05)
 
 
@@ -137,11 +139,13 @@ def test_fp16_cast_close_and_half_size():
     cfg = _Cfg()
     eng = QuantizationEngine(cfg, spec, params, state, logging.getLogger("q"))
     model, fn = eng.cast_half(jnp.float16)
-    x = jnp.asarray(
-        np.random.default_rng(5).standard_normal((2, 64, 64, 3)), jnp.float32
+    imgs = np.random.default_rng(5).integers(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    from inference_efficient_vision_models_tpu.data.pipeline import normalize_images
+
+    ref = np.asarray(
+        qresnet.apply_folded(spec, eng.folded, normalize_images(jnp.asarray(imgs)))
     )
-    ref = np.asarray(qresnet.apply_folded(spec, eng.folded, x))
-    got = np.asarray(fn(x))
+    got = np.asarray(fn(jnp.asarray(imgs)))
     assert np.max(np.abs(got - ref)) < 0.1
     assert eng.size_mb(model) < eng.size_mb(eng.folded) * 0.55
 
@@ -159,8 +163,7 @@ def test_quantized_pruned_model_runs():
     rng = np.random.default_rng(6)
     imgs = rng.integers(0, 255, (32, 64, 64, 3)).astype(np.uint8)
     qmodel, q_fn = eng.static_quantize((imgs, np.zeros(32, np.int32)))
-    from inference_efficient_vision_models_tpu.data.pipeline import normalize_images
 
-    logits = np.asarray(q_fn(normalize_images(jnp.asarray(imgs[:4]))))
+    logits = np.asarray(q_fn(jnp.asarray(imgs[:4])))
     assert logits.shape == (4, 6)
     assert np.isfinite(logits).all()
