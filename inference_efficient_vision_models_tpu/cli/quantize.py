@@ -95,10 +95,13 @@ def run_quantize(cfg, logger, data, split):
                     )
                     model = device_materialize(model)
                     fn = functools.partial(jfn, model)
-                acc = engine.evaluate_accuracy(fn, test_d)
+                pre = engine.s2d_preprocess if method == "static_int8" else None
+                acc = engine.evaluate_accuracy(fn, test_d, host_preprocess=pre)
                 size_mb = engine.size_mb(model)
-                lat = engine.measure_latency(fn, batch_size=1)
-                thr = engine.measure_latency(fn, batch_size=cfg.batch_size)
+                lat = engine.measure_latency(fn, batch_size=1, host_preprocess=pre)
+                thr = engine.measure_latency(
+                    fn, batch_size=cfg.batch_size, host_preprocess=pre
+                )
                 if method != "fp32":
                     _save_qmodel(cfg.fold_dir(fold), method, model)
                 rows.append({

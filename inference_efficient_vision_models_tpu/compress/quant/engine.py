@@ -130,21 +130,38 @@ class QuantizationEngine:
         return self.cast_half(jnp.float16)
 
     # -- shared harness ----------------------------------------------------
-    def evaluate_accuracy(self, apply_fn, test_d) -> float:
+    # ``host_preprocess`` is a host-side layout transform applied before the
+    # device (e.g. space-to-depth for the static-int8 stem); it belongs to
+    # the data pipeline, like decode.
+
+    @staticmethod
+    def s2d_preprocess(imgs: np.ndarray) -> np.ndarray:
+        from ...ops.space_to_depth import space_to_depth_u8
+
+        return space_to_depth_u8(np.asarray(imgs))
+
+    def evaluate_accuracy(self, apply_fn, test_d, host_preprocess=None) -> float:
         loader = Batches(test_d[0], test_d[1], self.cfg.batch_size)
         correct = n = 0.0
         eval_fn = jax.jit(lambda x_u8: jnp.argmax(apply_fn(x_u8), axis=-1))
         for i, (imgs, labels, mask) in enumerate(loader):
             if self.cfg.DEBUG_MODE and i == 2:
                 break
+            if host_preprocess is not None:
+                imgs = host_preprocess(imgs)
             pred = np.asarray(eval_fn(jnp.asarray(imgs)))
             correct += ((pred == labels) * mask).sum()
             n += mask.sum()
         return float(correct / max(n, 1.0))
 
-    def measure_latency(self, apply_fn, batch_size: int = 1) -> Dict[str, float]:
+    def measure_latency(
+        self, apply_fn, batch_size: int = 1, host_preprocess=None
+    ) -> Dict[str, float]:
         h, w = self.cfg.image_size
-        x = jnp.zeros((batch_size, h, w, 3), jnp.uint8)
+        x = np.zeros((batch_size, h, w, 3), np.uint8)
+        if host_preprocess is not None:
+            x = host_preprocess(x)
+        x = jnp.asarray(x)
         fn = jax.jit(apply_fn)
         lat = latency_ms(fn, x)
         lat["throughput_ips"] = throughput_ips(fn, x, batch_size=batch_size)

@@ -169,12 +169,36 @@ def _folded_input_stem(spec, folded, obs_out, image_size) -> Dict:
         ) * jnp.asarray(w_scale)
         e = np.asarray(true0 - approx0, np.float32)
 
+    # space-to-depth variant: same conv on (H/2, W/2, 12) input — kills the
+    # 3-lane-minor tensor entirely (ops/space_to_depth.py). Exact remap, so
+    # E4 is computed the same way in the s2d domain.
+    from ...ops.space_to_depth import remap_stem_weights_s2d
+
+    w4 = remap_stem_weights_s2d(w_prime)
+    w4_q, w4_scale = quantize_weight_per_channel(w4, channel_axis=3)
+    conv4_kw = dict(
+        window_strides=(1, 1),
+        padding=[(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        d12 = jnp.broadcast_to(jnp.asarray(np.tile(d, 4)), (1, h // 2, wid // 2, 12))
+        true0_4 = lax.conv_general_dilated(d12, jnp.asarray(remap_stem_weights_s2d(w)), **conv4_kw)
+        const12 = jnp.full((1, h // 2, wid // 2, 12), -128.0, jnp.float32)
+        approx0_4 = lax.conv_general_dilated(
+            const12, jnp.asarray(w4_q, jnp.float32), **conv4_kw
+        ) * jnp.asarray(w4_scale)
+        e4 = np.asarray(true0_4 - approx0_4, np.float32)
+
     scale, zp = minmax_qparams_affine(obs_out.min, obs_out.max)
     return {
         "w_q": w_q,
         "w_scale": w_scale,
         "bias": b,
         "e": e,  # (1, Ho, Wo, C) affine-offset map (borders differ)
+        "w4_q": w4_q,
+        "w4_scale": w4_scale,
+        "e4": e4,
         "out_scale": np.float32(scale),
         "out_zp": np.int32(zp),
     }
@@ -308,6 +332,16 @@ def _conv_q(x_s, zp, in_scale, qc, stride, padding, *, relu, requant, impl, inte
                     lowering on this hardware.
     Returns requantized int8 or fp32.
     """
+    if impl == "pallas" and qc["w_q"].shape[:2] == (3, 3) and stride == 1 and padding == 1:
+        from ...ops import conv3x3_s1_int8
+
+        return conv3x3_s1_int8(
+            x_s, qc["w_q"], qc["w_scale"], qc["bias"], qc["w_sum"],
+            in_scale=in_scale, in_zp=zp, relu=relu,
+            out_scale=qc["out_scale"] if requant else None,
+            out_zp=qc["out_zp"] if requant else None,
+            interpret=interpret,
+        )
     if impl == "im2col":
         from ...ops import conv_int8_im2col
 
@@ -336,7 +370,21 @@ def apply_int8(spec: ResNetSpec, q, x, *, impl: str = "lax", interpret: bool = F
     """
     kw = dict(impl=impl, interpret=interpret)
     stem = q["stem"]
-    if "e" in stem:
+    if "e4" in stem and x.shape[-1] == stem["w4_q"].shape[2]:
+        # space-to-depth input (B, H/2, W/2, 12): the host/data pipeline
+        # emits this layout; the device never sees a 3-lane-minor tensor.
+        x_s = (x.astype(jnp.int32) - 128).astype(jnp.int8)
+        x_p = jnp.pad(
+            x_s, ((0, 0), (2, 1), (2, 1), (0, 0)), constant_values=jnp.int8(-128)
+        )
+        acc = lax.conv_general_dilated(
+            x_p, stem["w4_q"], (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * stem["w4_scale"] + stem["bias"] + stem["e4"]
+        cur = _requant(jax.nn.relu(y), stem["out_scale"], stem["out_zp"])
+    elif "e" in stem:
         # integer input path: u8 → u−128 (exact), pad −128, E-corrected epilogue
         x_s = (x.astype(jnp.int32) - 128).astype(jnp.int8)
         x_p = jnp.pad(

@@ -81,3 +81,73 @@ def test_conv_im2col_matches_qresnet_conv(stride, padding, k):
         out_scale=None, out_zp=None, interpret=True,
     ))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-3)
+
+
+def test_conv3x3_s1_pallas_matches_lax():
+    """Fused direct 3x3 Pallas conv ≡ the lax int8 path (interpret mode)."""
+    from inference_efficient_vision_models_tpu.compress.quant.qresnet import (
+        _epilogue,
+        _qconv_int8,
+        _requant,
+    )
+    from inference_efficient_vision_models_tpu.ops import conv3x3_s1_int8
+
+    rng = np.random.default_rng(2)
+    x_s = rng.integers(-128, 128, (2, 12, 14, 32), dtype=np.int8)
+    w_q = rng.integers(-128, 128, (3, 3, 32, 72), dtype=np.int8)
+    qc = {
+        "w_q": jnp.asarray(w_q),
+        "w_scale": jnp.asarray(rng.uniform(0.001, 0.01, 72).astype(np.float32)),
+        "w_sum": jnp.asarray(w_q.astype(np.int32).sum(axis=(0, 1, 2))),
+        "bias": jnp.asarray(rng.standard_normal(72).astype(np.float32)),
+    }
+    in_scale, in_zp = 0.03, 150
+    for requant in (False, True):
+        out_scale, out_zp = (0.05, 110) if requant else (None, None)
+        acc = _qconv_int8(jnp.asarray(x_s), jnp.asarray(in_zp), qc, 1, 1)
+        ref = _epilogue(acc, jnp.asarray(in_scale), qc, relu=True)
+        if requant:
+            ref = _requant(ref, out_scale, out_zp)
+        got = conv3x3_s1_int8(
+            jnp.asarray(x_s), qc["w_q"], qc["w_scale"], qc["bias"], qc["w_sum"],
+            in_scale=in_scale, in_zp=in_zp, relu=True,
+            out_scale=out_scale, out_zp=out_zp, interpret=True,
+        )
+        if requant:
+            d = np.abs(np.asarray(got, np.int32) - np.asarray(ref, np.int32))
+            assert d.max() <= 1 and (d == 0).mean() > 0.99
+        else:
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-3)
+
+
+def test_s2d_stem_path_matches_fullres_int8():
+    """Static-int8 apply via s2d input ≡ full-res input (same quantized
+    values, different summation order; 1-ulp requant ties tolerated)."""
+    import logging
+
+    from inference_efficient_vision_models_tpu.compress.quant import qresnet
+    from inference_efficient_vision_models_tpu.compress.quant.engine import (
+        QuantizationEngine,
+    )
+    from inference_efficient_vision_models_tpu.models import create_model
+    from inference_efficient_vision_models_tpu.ops.space_to_depth import (
+        space_to_depth_u8,
+    )
+
+    class Cfg:
+        batch_size = 8
+        calibration_images = 16
+        DEBUG_MODE = False
+        image_size = (64, 64)
+        compute_dtype = "float32"
+
+    spec, params, state = create_model("resnet18", num_classes=6)
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 255, (16, 64, 64, 3)).astype(np.uint8)
+    eng = QuantizationEngine(Cfg(), spec, params, state, logging.getLogger("q"))
+    qmodel, q_fn = eng.static_quantize((imgs, np.zeros(16, np.int32)))
+
+    full = np.asarray(q_fn(jnp.asarray(imgs[:4])))
+    s2d = np.asarray(q_fn(jnp.asarray(space_to_depth_u8(imgs[:4]))))
+    np.testing.assert_allclose(s2d, full, rtol=0.02, atol=0.02)
+    assert (s2d.argmax(1) == full.argmax(1)).all()
