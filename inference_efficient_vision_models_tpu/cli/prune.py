@@ -13,7 +13,6 @@ import os
 
 from ..core import PruningConfig, artifacts
 from ..metrics.report import summarize_folds
-from ..utils import device_materialize
 from ..compress.prune import StructuredPruningEngine
 from ..compress.prune.engine import taylor_grads
 from .teacher import load_stage_model

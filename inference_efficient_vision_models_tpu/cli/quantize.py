@@ -15,10 +15,9 @@ import os
 import traceback
 
 import jax.numpy as jnp
-import numpy as np
 from flax import serialization
 
-from ..core import QuantConfig, artifacts
+from ..core import QuantConfig
 from ..compress.quant.engine import QuantizationEngine
 from ..metrics.report import summarize_folds
 from .teacher import load_stage_model
@@ -33,14 +32,101 @@ def _source_dir(cfg, fold: int) -> str:
     return os.path.join(root, f"fold_{fold}")
 
 
-def _save_qmodel(fold_dir: str, method: str, model) -> str:
+def _save_qmodel(fold_dir: str, method: str, model, spec=None) -> str:
     os.makedirs(fold_dir, exist_ok=True)
+    import json
+
     import jax
+
+    from ..compress.quant import qresnet
 
     path = os.path.join(fold_dir, f"model_{method}.msgpack")
     with open(path, "wb") as f:
-        f.write(serialization.to_bytes(jax.device_get(model)))
+        f.write(serialization.to_bytes(qresnet.serializable(jax.device_get(model))))
+    if spec is not None:
+        with open(os.path.join(fold_dir, "spec.json"), "w") as f:
+            json.dump(spec.to_dict(), f, indent=2)
     return path
+
+
+def _rebuild_apply_fn(spec, model):
+    """Reconstruct the jitted forward for a restored quantized artifact.
+
+    The artifact kind is self-describing: static int8 carries "input"
+    qparams, dynamic carries "fc_q", casts are plain folded pytrees.
+    """
+    import functools
+
+    import jax
+
+    from ..compress.quant import qresnet
+    from ..compress.quant.engine import _dynamic_fc, s2d_preprocess
+    from ..data.pipeline import normalize_images
+    from ..utils import device_materialize
+
+    model = device_materialize(model)
+    if "input" in model:  # static int8
+        fn = jax.jit(lambda q, x: qresnet.apply_int8(spec, q, x))
+        return functools.partial(fn, model), model, s2d_preprocess
+    if "fc_q" in model:  # dynamic int8
+
+        def fwd(m, x_u8):
+            feats = qresnet.apply_folded(
+                spec, m, normalize_images(x_u8), return_features=True
+            )
+            return _dynamic_fc(feats, m["fc_q"])
+
+        return functools.partial(jax.jit(fwd), model), model, None
+    # fp16 / bf16 / fp32 folded cast
+    leaf = jax.tree.leaves(model)[0]
+    dtype = leaf.dtype
+
+    fn = jax.jit(
+        lambda m, x_u8: qresnet.apply_folded(
+            spec, m, normalize_images(x_u8, dtype)
+        ).astype(jax.numpy.float32)
+    )
+    return functools.partial(fn, model), model, None
+
+
+def run_test(cfg, logger, data):
+    """choice=2: reload saved quantized artifacts and re-evaluate (the
+    checkpoint round-trip check every other stage has; the reference's
+    quantization choice field was unused, `q_config.py:57`)."""
+    import json
+
+    from ..compress.quant.engine import evaluate_accuracy_fn
+    from ..metrics.profile import model_size_bytes
+    from ..models.registry import spec_from_dict
+
+    rows = []
+    for fold in range(cfg.num_folds):
+        fold_dir = cfg.fold_dir(fold)
+        spec_path = os.path.join(fold_dir, "spec.json")
+        if not os.path.exists(spec_path):
+            logger.warning("fold %d: no quantized artifacts — skipping", fold)
+            continue
+        with open(spec_path) as f:
+            spec = spec_from_dict(json.load(f))
+        for method in cfg.methods:
+            path = os.path.join(fold_dir, f"model_{method}.msgpack")
+            if not os.path.exists(path):
+                continue
+            with open(path, "rb") as f:
+                model = serialization.msgpack_restore(f.read())
+            from ..compress.quant import qresnet as _q
+
+            model = _q.restore_derived(model)
+            fn, model, pre = _rebuild_apply_fn(spec, model)
+            acc = evaluate_accuracy_fn(cfg, fn, data["test"], host_preprocess=pre)
+            size_mb = model_size_bytes(_q.serializable(model)) / 1e6
+            rows.append({
+                "fold": fold, "method": method,
+                "Accuracy": acc * 100.0, "Size (MB)": size_mb,
+            })
+            logger.info("fold %d %s: acc %.2f%% size %.2f MB", fold, method, acc * 100, size_mb)
+    summarize_folds(rows, cfg.output_dir, logger, name="quantization_summary")
+    return rows
 
 
 def run_quantize(cfg, logger, data, split):
@@ -103,7 +189,7 @@ def run_quantize(cfg, logger, data, split):
                     fn, batch_size=cfg.batch_size, host_preprocess=pre
                 )
                 if method != "fp32":
-                    _save_qmodel(cfg.fold_dir(fold), method, model)
+                    _save_qmodel(cfg.fold_dir(fold), method, model, spec=spec)
                 rows.append({
                     "fold": fold,
                     "method": method,
@@ -130,4 +216,6 @@ def main(argv=None):
 
     cfg = make_config(QuantConfig, argv)
     logger, _, data, split = setup_stage(cfg)
+    if cfg.choice == 2:
+        return run_test(cfg, logger, data)
     return run_quantize(cfg, logger, data, split)

@@ -14,8 +14,7 @@ from ..core import TeacherConfig, artifacts
 from ..core.prng import key_for
 from ..data.pipeline import Batches
 from ..metrics.report import summarize_folds
-from ..models import create_model, make_spec
-from ..models.registry import SpecLike
+from ..models import create_model
 from ..train import make_eval_step, train_classifier
 from ..train.loop import evaluate
 from ..utils import cpu_device, device_materialize

@@ -51,6 +51,29 @@ def _dynamic_fc(feats, fcq):
     return acc.astype(jnp.float32) * (scale * fcq["w_scale"]) + fcq["bias"]
 
 
+def s2d_preprocess(imgs: np.ndarray) -> np.ndarray:
+    """Host-side space-to-depth (the static-int8 stem's input layout)."""
+    from ...ops.space_to_depth import space_to_depth_u8
+
+    return space_to_depth_u8(np.asarray(imgs))
+
+
+def evaluate_accuracy_fn(cfg, apply_fn, test_d, host_preprocess=None) -> float:
+    """Accuracy of any (u8 → logits) forward over the test split."""
+    loader = Batches(test_d[0], test_d[1], cfg.batch_size)
+    correct = n = 0.0
+    eval_fn = jax.jit(lambda x_u8: jnp.argmax(apply_fn(x_u8), axis=-1))
+    for i, (imgs, labels, mask) in enumerate(loader):
+        if cfg.DEBUG_MODE and i == 2:
+            break
+        if host_preprocess is not None:
+            imgs = host_preprocess(imgs)
+        pred = np.asarray(eval_fn(jnp.asarray(imgs)))
+        correct += ((pred == labels) * mask).sum()
+        n += mask.sum()
+    return float(correct / max(n, 1.0))
+
+
 class QuantizationEngine:
     """Quantize a (possibly pruned) model given its spec + params + state."""
 
@@ -134,25 +157,10 @@ class QuantizationEngine:
     # device (e.g. space-to-depth for the static-int8 stem); it belongs to
     # the data pipeline, like decode.
 
-    @staticmethod
-    def s2d_preprocess(imgs: np.ndarray) -> np.ndarray:
-        from ...ops.space_to_depth import space_to_depth_u8
-
-        return space_to_depth_u8(np.asarray(imgs))
+    s2d_preprocess = staticmethod(s2d_preprocess)
 
     def evaluate_accuracy(self, apply_fn, test_d, host_preprocess=None) -> float:
-        loader = Batches(test_d[0], test_d[1], self.cfg.batch_size)
-        correct = n = 0.0
-        eval_fn = jax.jit(lambda x_u8: jnp.argmax(apply_fn(x_u8), axis=-1))
-        for i, (imgs, labels, mask) in enumerate(loader):
-            if self.cfg.DEBUG_MODE and i == 2:
-                break
-            if host_preprocess is not None:
-                imgs = host_preprocess(imgs)
-            pred = np.asarray(eval_fn(jnp.asarray(imgs)))
-            correct += ((pred == labels) * mask).sum()
-            n += mask.sum()
-        return float(correct / max(n, 1.0))
+        return evaluate_accuracy_fn(self.cfg, apply_fn, test_d, host_preprocess)
 
     def measure_latency(
         self, apply_fn, batch_size: int = 1, host_preprocess=None
@@ -168,4 +176,6 @@ class QuantizationEngine:
         return lat
 
     def size_mb(self, model) -> float:
-        return model_size_bytes(model) / 1e6
+        # derived tensors (stem offset maps) are regenerable, not checkpoint
+        # payload — measure the serializable view
+        return model_size_bytes(qresnet.serializable(model)) / 1e6

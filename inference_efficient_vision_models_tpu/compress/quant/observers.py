@@ -19,7 +19,7 @@ native int8×int8→int32 mode; the affine math is unchanged.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 import numpy as np

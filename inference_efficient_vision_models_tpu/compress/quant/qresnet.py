@@ -138,70 +138,97 @@ def _folded_input_stem(spec, folded, obs_out, image_size) -> Dict:
     """Stem conv with ImageNet-normalize folded in, consuming raw uint8.
 
     approx(u) = s_w ⊙ conv_{pad=-128}(u − 128, Wq) + bias + E
-    where W' = W·k (k_c = 1/(255σ_c)), Wq = per-channel int8 of W', and
-    E = true(0) − (approx(0) − bias) captures the full affine offset
-    (interior: d-term + 128-shift; borders: padding mismatch). Padding with
-    −128 makes approx(0) spatially constant, so E carries all border effects.
+    where W' = W·k (k_c = 1/(255σ_c)), Wq = per-channel int8 of W', and the
+    affine-offset map E (d-term + 128-shift, position-dependent at borders)
+    is DERIVED from the quantized weights themselves (see
+    restore_stem_offsets) so it is never serialized — checkpoints stay
+    int8-sized and E regenerates at load. A space-to-depth stem variant
+    (w4_q, ops/space_to_depth.py) is included for the TPU-friendly
+    (H/2, W/2, 12) input layout; both variants share the epilogue qparams.
     """
     from ...data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+    from ...ops.space_to_depth import remap_stem_weights_s2d
 
     w = np.asarray(folded["conv1"]["w"], np.float32)  # (7,7,3,C)
     b = np.asarray(folded["conv1"]["b"], np.float32)
     k = 1.0 / (255.0 * np.asarray(IMAGENET_STD, np.float32))
-    d = -np.asarray(IMAGENET_MEAN, np.float32) / np.asarray(IMAGENET_STD, np.float32)
     w_prime = w * k.reshape(1, 1, 3, 1)
     w_q, w_scale = quantize_weight_per_channel(w_prime, channel_axis=3)
-
-    h, wid = image_size
-    conv_kw = dict(
-        window_strides=(2, 2),
-        padding=[(3, 3), (3, 3)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    w4_q, w4_scale = quantize_weight_per_channel(
+        remap_stem_weights_s2d(w_prime), channel_axis=3
     )
-    with jax.default_device(jax.devices("cpu")[0]):
-        # true conv term at u≡0: zero-padded normalized image = d inside, 0 at pad
-        d_img = jnp.broadcast_to(jnp.asarray(d), (1, h, wid, 3))
-        true0 = lax.conv_general_dilated(d_img, jnp.asarray(w), **conv_kw)
-        # approx conv term at u≡0: x_s ≡ −128, pad −128 → constant everywhere
-        const_in = jnp.full((1, h, wid, 3), -128.0, jnp.float32)
-        approx0 = lax.conv_general_dilated(
-            const_in, jnp.asarray(w_q, jnp.float32), **conv_kw
-        ) * jnp.asarray(w_scale)
-        e = np.asarray(true0 - approx0, np.float32)
-
-    # space-to-depth variant: same conv on (H/2, W/2, 12) input — kills the
-    # 3-lane-minor tensor entirely (ops/space_to_depth.py). Exact remap, so
-    # E4 is computed the same way in the s2d domain.
-    from ...ops.space_to_depth import remap_stem_weights_s2d
-
-    w4 = remap_stem_weights_s2d(w_prime)
-    w4_q, w4_scale = quantize_weight_per_channel(w4, channel_axis=3)
-    conv4_kw = dict(
-        window_strides=(1, 1),
-        padding=[(2, 1), (2, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    with jax.default_device(jax.devices("cpu")[0]):
-        d12 = jnp.broadcast_to(jnp.asarray(np.tile(d, 4)), (1, h // 2, wid // 2, 12))
-        true0_4 = lax.conv_general_dilated(d12, jnp.asarray(remap_stem_weights_s2d(w)), **conv4_kw)
-        const12 = jnp.full((1, h // 2, wid // 2, 12), -128.0, jnp.float32)
-        approx0_4 = lax.conv_general_dilated(
-            const12, jnp.asarray(w4_q, jnp.float32), **conv4_kw
-        ) * jnp.asarray(w4_scale)
-        e4 = np.asarray(true0_4 - approx0_4, np.float32)
 
     scale, zp = minmax_qparams_affine(obs_out.min, obs_out.max)
-    return {
+    stem = {
         "w_q": w_q,
         "w_scale": w_scale,
+        # original folded stem kernel (x_f-space), 7·7·3·C ≈ 37 KB — the true
+        # offset term conv(d, W) needs it; keeps E exact across save/load
+        "w_fp": w.astype(np.float32),
         "bias": b,
-        "e": e,  # (1, Ho, Wo, C) affine-offset map (borders differ)
         "w4_q": w4_q,
         "w4_scale": w4_scale,
-        "e4": e4,
+        "input_hw": np.asarray(image_size, np.int32),
         "out_scale": np.float32(scale),
         "out_zp": np.int32(zp),
     }
+    return restore_stem_offsets(stem)
+
+
+STEM_DERIVED_KEYS = ("e", "e4")
+
+
+def restore_stem_offsets(stem: Dict) -> Dict:
+    """(Re)compute the derived affine-offset maps E / E4.
+
+    The true conv term uses the exact fp stem kernel ``w_fp`` (37 KB, stored);
+    the approx term under constant −128 padding is spatially constant:
+        E = conv_zero-pad(d_img, w_fp) + 128·s_w·Σw_q
+    Run on CPU at convert/load time; a few ms. Never serialized with the
+    model (see ``serializable``).
+    """
+    from ...data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+    from ...ops.space_to_depth import remap_stem_weights_s2d
+
+    d = -np.asarray(IMAGENET_MEAN, np.float32) / np.asarray(IMAGENET_STD, np.float32)
+    h, wid = (int(v) for v in np.asarray(stem["input_hw"]))
+    w_fp = np.asarray(stem["w_fp"], np.float32)
+    w_q = np.asarray(stem["w_q"], np.float32)
+    w_scale = np.asarray(stem["w_scale"], np.float32)
+    w4_q = np.asarray(stem["w4_q"], np.float32)
+    w4_scale = np.asarray(stem["w4_scale"], np.float32)
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        d_img = jnp.broadcast_to(jnp.asarray(d), (1, h, wid, 3))
+        conv_d = lax.conv_general_dilated(
+            d_img, jnp.asarray(w_fp), (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        e = np.asarray(conv_d, np.float32) + 128.0 * w_scale * w_q.sum(axis=(0, 1, 2))
+        d12 = jnp.broadcast_to(jnp.asarray(np.tile(d, 4)), (1, h // 2, wid // 2, 12))
+        conv_d4 = lax.conv_general_dilated(
+            d12, jnp.asarray(remap_stem_weights_s2d(w_fp)), (1, 1), [(2, 1), (2, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        e4 = np.asarray(conv_d4, np.float32) + 128.0 * w4_scale * w4_q.sum(
+            axis=(0, 1, 2)
+        )
+    return {**stem, "e": e.astype(np.float32), "e4": e4.astype(np.float32)}
+
+
+def serializable(qmodel: Dict) -> Dict:
+    """Checkpoint view of a static-int8 model: derived tensors stripped."""
+    if "stem" not in qmodel or "e" not in qmodel.get("stem", {}):
+        return qmodel
+    stem = {k: v for k, v in qmodel["stem"].items() if k not in STEM_DERIVED_KEYS}
+    return {**qmodel, "stem": stem}
+
+
+def restore_derived(qmodel: Dict) -> Dict:
+    """Inverse of ``serializable`` after msgpack restore."""
+    if "stem" in qmodel and "input_hw" in qmodel["stem"] and "e" not in qmodel["stem"]:
+        return {**qmodel, "stem": restore_stem_offsets(qmodel["stem"])}
+    return qmodel
 
 
 def _qconv_params(w, b, obs_out=None) -> Dict:

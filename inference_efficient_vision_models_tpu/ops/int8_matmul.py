@@ -20,8 +20,6 @@ full-K blocks (ResNet K ≤ 4608 int8 → ≤ 4.5 KB per activation row).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -11,10 +11,9 @@ history, DEBUG_MODE early batch exit (2 batches, like
 from __future__ import annotations
 
 import time
-from typing import Callable, Dict, Optional
+from typing import Dict, Optional
 
 import jax
-import numpy as np
 
 from ..core import artifacts
 from ..data.pipeline import Batches

@@ -11,7 +11,7 @@ Pure functions over pytrees — jit/pjit-friendly, shardings flow through.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -167,3 +167,34 @@ def test_quantized_pruned_model_runs():
     logits = np.asarray(q_fn(jnp.asarray(imgs[:4])))
     assert logits.shape == (4, 6)
     assert np.isfinite(logits).all()
+
+
+def test_static_artifact_roundtrip_strips_derived():
+    """Serialized static-int8 artifact excludes derived offset maps and
+    restores to identical logits after regeneration."""
+    import logging
+
+    from flax import serialization
+
+    spec, params, state = _trained_like_model()
+    cfg = _Cfg()
+    rng = np.random.default_rng(8)
+    imgs = rng.integers(0, 255, (16, 64, 64, 3)).astype(np.uint8)
+    eng = QuantizationEngine(cfg, spec, params, state, logging.getLogger("q"))
+    qmodel, q_fn = eng.static_quantize((imgs, np.zeros(16, np.int32)))
+
+    blob = serialization.to_bytes(jax.device_get(qresnet.serializable(qmodel)))
+    restored = qresnet.restore_derived(serialization.msgpack_restore(blob))
+    assert "e" in restored["stem"] and "e4" in restored["stem"]
+    np.testing.assert_allclose(
+        np.asarray(restored["stem"]["e"]), np.asarray(qmodel["stem"]["e"]),
+        rtol=1e-5, atol=1e-5,
+    )
+    x = jnp.asarray(imgs[:4])
+    a = np.asarray(qresnet.apply_int8(spec, restored, x))
+    b = np.asarray(q_fn(x))
+    # jitted vs op-by-op execution: same math, fp fusion differences only
+    np.testing.assert_allclose(a, b, rtol=0.02, atol=0.02)
+    assert (a.argmax(1) == b.argmax(1)).all()
+    # stripped artifact is ~int8-sized: much smaller than with offsets
+    assert len(blob) < eng.size_mb(eng.folded) * 1e6 / 3.0
