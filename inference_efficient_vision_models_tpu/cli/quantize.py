@@ -49,75 +49,25 @@ def _save_qmodel(fold_dir: str, method: str, model, spec=None) -> str:
     return path
 
 
-def _rebuild_apply_fn(spec, model):
-    """Reconstruct the jitted forward for a restored quantized artifact.
-
-    The artifact kind is self-describing: static int8 carries "input"
-    qparams, dynamic carries "fc_q", casts are plain folded pytrees.
-    """
-    import functools
-
-    import jax
-
-    from ..compress.quant import qresnet
-    from ..compress.quant.engine import _dynamic_fc, s2d_preprocess
-    from ..data.pipeline import normalize_images
-    from ..utils import device_materialize
-
-    model = device_materialize(model)
-    if "input" in model:  # static int8
-        fn = jax.jit(lambda q, x: qresnet.apply_int8(spec, q, x))
-        return functools.partial(fn, model), model, s2d_preprocess
-    if "fc_q" in model:  # dynamic int8
-
-        def fwd(m, x_u8):
-            feats = qresnet.apply_folded(
-                spec, m, normalize_images(x_u8), return_features=True
-            )
-            return _dynamic_fc(feats, m["fc_q"])
-
-        return functools.partial(jax.jit(fwd), model), model, None
-    # fp16 / bf16 / fp32 folded cast
-    leaf = jax.tree.leaves(model)[0]
-    dtype = leaf.dtype
-
-    fn = jax.jit(
-        lambda m, x_u8: qresnet.apply_folded(
-            spec, m, normalize_images(x_u8, dtype)
-        ).astype(jax.numpy.float32)
-    )
-    return functools.partial(fn, model), model, None
-
-
 def run_test(cfg, logger, data):
     """choice=2: reload saved quantized artifacts and re-evaluate (the
     checkpoint round-trip check every other stage has; the reference's
     quantization choice field was unused, `q_config.py:57`)."""
-    import json
-
+    from ..compress.quant import qresnet as _q
     from ..compress.quant.engine import evaluate_accuracy_fn
     from ..metrics.profile import model_size_bytes
-    from ..models.registry import spec_from_dict
+    from ..serving import load_quantized
 
     rows = []
     for fold in range(cfg.num_folds):
         fold_dir = cfg.fold_dir(fold)
-        spec_path = os.path.join(fold_dir, "spec.json")
-        if not os.path.exists(spec_path):
+        if not os.path.exists(os.path.join(fold_dir, "spec.json")):
             logger.warning("fold %d: no quantized artifacts — skipping", fold)
             continue
-        with open(spec_path) as f:
-            spec = spec_from_dict(json.load(f))
         for method in cfg.methods:
-            path = os.path.join(fold_dir, f"model_{method}.msgpack")
-            if not os.path.exists(path):
+            if not os.path.exists(os.path.join(fold_dir, f"model_{method}.msgpack")):
                 continue
-            with open(path, "rb") as f:
-                model = serialization.msgpack_restore(f.read())
-            from ..compress.quant import qresnet as _q
-
-            model = _q.restore_derived(model)
-            fn, model, pre = _rebuild_apply_fn(spec, model)
+            spec, model, fn, pre = load_quantized(fold_dir, method)
             acc = evaluate_accuracy_fn(cfg, fn, data["test"], host_preprocess=pre)
             size_mb = model_size_bytes(_q.serializable(model)) / 1e6
             rows.append({

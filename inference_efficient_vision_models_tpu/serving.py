@@ -1,0 +1,144 @@
+"""Serving runtime: a pipelined predictor over any compiled forward.
+
+The deployment-facing piece the reference lacks (its "serving" story is the
+per-batch eval loop, `quantization/main.py:279-290`). ``Predictor`` overlaps
+three stages per batch:
+
+    host preprocess (decode/s2d, worker thread)  →  H2D + device execute
+    (async dispatch; XLA queues back-to-back)    →  result gather
+
+so the TPU never waits on the host for steady-state streams. Works with any
+``(u8 images) → logits`` apply_fn — fp32/bf16 folded, dynamic int8, or the
+true-int8 path — and can be constructed straight from a stage-4 artifact
+directory.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Callable, Iterable, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def load_quantized(fold_dir: str, method: str):
+    """Restore a stage-4 artifact → (spec, model, apply_fn, host_preprocess).
+
+    Artifact kinds are self-describing: static int8 carries "input" qparams
+    (and uses the space-to-depth host layout), dynamic int8 carries "fc_q",
+    fp16/bf16 casts are plain folded pytrees.
+    """
+    import functools
+    import json
+
+    from flax import serialization
+
+    from .compress.quant import qresnet
+    from .compress.quant.engine import _dynamic_fc, s2d_preprocess
+    from .data.pipeline import normalize_images
+    from .models.registry import spec_from_dict
+    from .utils import device_materialize
+
+    with open(os.path.join(fold_dir, "spec.json")) as f:
+        spec = spec_from_dict(json.load(f))
+    with open(os.path.join(fold_dir, f"model_{method}.msgpack"), "rb") as f:
+        model = serialization.msgpack_restore(f.read())
+    model = device_materialize(qresnet.restore_derived(model))
+
+    if "input" in model:  # static int8
+        fn = jax.jit(lambda q, x: qresnet.apply_int8(spec, q, x))
+        return spec, model, functools.partial(fn, model), s2d_preprocess
+    if "fc_q" in model:  # dynamic int8
+
+        def fwd(m, x_u8):
+            feats = qresnet.apply_folded(
+                spec, m, normalize_images(x_u8), return_features=True
+            )
+            return _dynamic_fc(feats, m["fc_q"])
+
+        return spec, model, functools.partial(jax.jit(fwd), model), None
+    dtype = jax.tree.leaves(model)[0].dtype  # folded cast (fp16/bf16/fp32)
+    fn = jax.jit(
+        lambda m, x_u8: qresnet.apply_folded(
+            spec, m, normalize_images(x_u8, dtype)
+        ).astype(jnp.float32)
+    )
+    return spec, model, functools.partial(fn, model), None
+
+
+class Predictor:
+    """Batched, host-prefetching inference over a (u8 → logits) forward."""
+
+    def __init__(
+        self,
+        apply_fn: Callable,
+        *,
+        host_preprocess: Optional[Callable] = None,
+        batch_size: int = 256,
+        prefetch: int = 2,
+    ):
+        self.apply_fn = apply_fn
+        self.host_preprocess = host_preprocess
+        self.batch_size = batch_size
+        self.prefetch = max(prefetch, 1)
+
+    @classmethod
+    def from_artifact(cls, fold_dir: str, method: str = "static_int8", **kw):
+        _, _, fn, pre = load_quantized(fold_dir, method)
+        return cls(fn, host_preprocess=pre, **kw)
+
+    # -- core pipeline ------------------------------------------------------
+    def _batches(self, images: np.ndarray):
+        bs = self.batch_size
+        n = len(images)
+        for start in range(0, n, bs):
+            chunk = images[start : start + bs]
+            pad = bs - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+            yield chunk, bs - pad
+
+    def predict_logits(self, images: np.ndarray) -> np.ndarray:
+        """images (N, H, W, 3) uint8 → logits (N, num_classes) fp32."""
+        out = []
+        q: "queue.Queue[Optional[Tuple[np.ndarray, int]]]" = queue.Queue(self.prefetch)
+
+        def producer():
+            for chunk, valid in self._batches(images):
+                if self.host_preprocess is not None:
+                    chunk = self.host_preprocess(chunk)
+                q.put((jnp.asarray(chunk), valid))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+
+        pending = []  # (device_result, valid) — keep a couple in flight
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            x, valid = item
+            pending.append((self.apply_fn(x), valid))
+            if len(pending) > self.prefetch:
+                r, v = pending.pop(0)
+                out.append(np.asarray(r)[:v])
+        for r, v in pending:
+            out.append(np.asarray(r)[:v])
+        t.join()
+        return np.concatenate(out) if out else np.empty((0,))
+
+    def predict(self, images: np.ndarray) -> np.ndarray:
+        """→ predicted class ids (N,)."""
+        return self.predict_logits(images).argmax(axis=-1)
+
+    def predict_stream(self, batches: Iterable[np.ndarray]):
+        """Generator over an unbounded stream of u8 image batches."""
+        for chunk in batches:
+            x = self.host_preprocess(chunk) if self.host_preprocess else chunk
+            yield np.asarray(self.apply_fn(jnp.asarray(x)))

@@ -1,0 +1,69 @@
+"""Serving runtime tests: artifact loading, pipelined prediction correctness."""
+
+import logging
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from inference_efficient_vision_models_tpu.compress.quant.engine import (
+    QuantizationEngine,
+)
+from inference_efficient_vision_models_tpu.models import create_model
+from inference_efficient_vision_models_tpu.serving import Predictor, load_quantized
+
+
+class _Cfg:
+    batch_size = 8
+    calibration_images = 16
+    DEBUG_MODE = False
+    image_size = (64, 64)
+    compute_dtype = "float32"
+
+
+def _save_artifacts(tmp_path):
+    from inference_efficient_vision_models_tpu.cli.quantize import _save_qmodel
+
+    spec, params, state = create_model("resnet18", num_classes=6)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (16, 64, 64, 3)).astype(np.uint8)
+    eng = QuantizationEngine(_Cfg(), spec, params, state, logging.getLogger("s"))
+    qmodel, q_fn = eng.static_quantize((imgs, np.zeros(16, np.int32)))
+    dmodel, _ = eng.dynamic_quantize()
+    hmodel, _ = eng.cast_half(jnp.float16)
+    fold = str(tmp_path / "fold_0")
+    _save_qmodel(fold, "static_int8", qmodel, spec=spec)
+    _save_qmodel(fold, "dynamic_int8", dmodel, spec=spec)
+    _save_qmodel(fold, "fp16", hmodel, spec=spec)
+    return fold, imgs, q_fn
+
+
+def test_predictor_matches_direct_apply(tmp_path):
+    fold, imgs, q_fn = _save_artifacts(tmp_path)
+    pred = Predictor.from_artifact(fold, "static_int8", batch_size=5)
+    test = np.random.default_rng(1).integers(0, 255, (13, 64, 64, 3)).astype(np.uint8)
+    logits = pred.predict_logits(test)
+    assert logits.shape == (13, 6)
+    from inference_efficient_vision_models_tpu.ops.space_to_depth import (
+        space_to_depth_u8,
+    )
+
+    direct = np.asarray(q_fn(jnp.asarray(space_to_depth_u8(test))))
+    np.testing.assert_allclose(logits, direct, rtol=1e-5, atol=1e-5)
+    assert (pred.predict(test) == direct.argmax(1)).all()
+
+
+def test_predictor_all_artifact_kinds(tmp_path):
+    fold, imgs, _ = _save_artifacts(tmp_path)
+    test = imgs[:6]
+    for method in ("static_int8", "dynamic_int8", "fp16"):
+        p = Predictor.from_artifact(fold, method, batch_size=4)
+        logits = p.predict_logits(test)
+        assert logits.shape == (6, 6) and np.isfinite(logits).all(), method
+
+
+def test_predictor_stream(tmp_path):
+    fold, imgs, _ = _save_artifacts(tmp_path)
+    p = Predictor.from_artifact(fold, "static_int8", batch_size=4)
+    outs = list(p.predict_stream(iter([imgs[:4], imgs[4:8]])))
+    assert len(outs) == 2 and outs[0].shape == (4, 6)
