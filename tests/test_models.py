@@ -22,8 +22,10 @@ from inference_efficient_vision_models_tpu.models.torch_import import (
 
 
 @pytest.mark.parametrize("name,expected_params", [
-    ("resnet18", 11_689_512),  # torchvision count @ 1000 classes
+    ("resnet18", 11_689_512),  # torchvision counts @ 1000 classes
+    ("resnet34", 21_797_672),
     ("resnet50", 25_557_032),
+    ("resnet101", 44_549_160),
 ])
 def test_param_count_matches_torchvision(name, expected_params):
     spec, params, state = create_model(name, num_classes=1000)

@@ -79,6 +79,22 @@ def test_stage3_prune(pipeline_root):
     assert all(w % 8 == 0 for w in spec["stage_widths"])
 
 
+def test_stage3_prune_taylor_and_global(pipeline_root):
+    """CLI pass-through of the alternative pruning criteria."""
+    rows = prune.main(_args(pipeline_root, [
+        "choice=1", "experiment_name='taylor'", "pruning_method='taylor'",
+        "pruning_ratio=0.15", "finetune_epochs=0", "num_folds=2",
+    ]))
+    assert any(r["phase"] == "pruned" for r in rows)
+    rows = prune.main(_args(pipeline_root, [
+        "choice=1", "experiment_name='glob'", "pruning_method='l1'",
+        "global_pruning=True", "pruning_ratio=0.15", "finetune_epochs=0",
+        "num_folds=2",
+    ]))
+    by = {(r["fold"], r["phase"]): r for r in rows}
+    assert by[(0, "pruned")]["Params (M)"] < by[(0, "baseline")]["Params (M)"]
+
+
 def test_stage4_quantize(pipeline_root):
     rows = quantize.main(_args(pipeline_root, [
         "model_type='pruned'", "calibration_images=32",
