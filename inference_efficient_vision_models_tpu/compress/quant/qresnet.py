@@ -112,12 +112,12 @@ def calibrate(
             apply_folded(spec, f, x, with_taps=True)[1],
         )
     )
+    from ...data.pipeline import normalize_images
+
     observers: Dict[str, ObserverState] = {}
     seen = 0
     for batch in batches:
-        imgs, _labels, mask = batch if len(batch) == 3 else (*batch, None)
-        from ...data.pipeline import normalize_images
-
+        imgs = batch[0] if isinstance(batch, tuple) else batch
         x = normalize_images(jnp.asarray(imgs))
         mm = jax.device_get(tap_minmax(folded, x))
         for name, (lo, hi) in mm.items():
@@ -140,11 +140,11 @@ def _folded_input_stem(spec, folded, obs_out, image_size) -> Dict:
     approx(u) = s_w ⊙ conv_{pad=-128}(u − 128, Wq) + bias + E
     where W' = W·k (k_c = 1/(255σ_c)), Wq = per-channel int8 of W', and the
     affine-offset map E (d-term + 128-shift, position-dependent at borders)
-    is DERIVED from the quantized weights themselves (see
-    restore_stem_offsets) so it is never serialized — checkpoints stay
-    int8-sized and E regenerates at load. A space-to-depth stem variant
-    (w4_q, ops/space_to_depth.py) is included for the TPU-friendly
-    (H/2, W/2, 12) input layout; both variants share the epilogue qparams.
+    is a DERIVED tensor: regenerated from the stored 37 KB fp stem kernel at
+    load (see restore_stem_offsets), never serialized — checkpoints stay
+    int8-sized. A space-to-depth stem variant (w4_q, ops/space_to_depth.py)
+    is included for the TPU-friendly (H/2, W/2, 12) input layout; both
+    variants share the epilogue qparams.
     """
     from ...data.pipeline import IMAGENET_MEAN, IMAGENET_STD
     from ...ops.space_to_depth import remap_stem_weights_s2d
@@ -353,10 +353,12 @@ def _requant(y, scale, zp):
 def _conv_q(x_s, zp, in_scale, qc, stride, padding, *, relu, requant, impl, interpret):
     """One quantized conv through the selected backend.
 
-    impl="lax"    — XLA's native int8 convolution + fused fp32 epilogue.
-    impl="im2col" — patches + Pallas fused int8 matmul (ops/): the MXU
-                    matmul path measured ~30× faster than the direct conv
-                    lowering on this hardware.
+    impl="lax"    — XLA's native int8 convolution + fused fp32 epilogue
+                    (DEFAULT: fastest end-to-end on current hardware).
+    impl="pallas" — fused direct 3×3/s1 Pallas kernel (ops/conv3x3.py);
+                    numerically equivalent, experimental perf.
+    impl="im2col" — XLA patches + Pallas fused int8 matmul; equivalent but
+                    HBM-bound by patch materialization.
     Returns requantized int8 or fp32.
     """
     if impl == "pallas" and qc["w_q"].shape[:2] == (3, 3) and stride == 1 and padding == 1:
