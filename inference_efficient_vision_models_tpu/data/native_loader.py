@@ -49,6 +49,7 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.ievm_decode_batch.restype = ctypes.c_int
     lib.ievm_decode_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
     ]
     lib.ievm_decode_one.restype = ctypes.c_int
@@ -68,19 +69,25 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 
 def decode_batch_native(
-    paths: List[str], size: Tuple[int, int], num_threads: int = 8
+    paths: List[str], size: Tuple[int, int], num_threads: int = 8,
+    s2d: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """→ (images uint8 [N,H,W,3], ok mask bool [N]); raises if lib unavailable."""
+    """→ (images uint8, ok mask bool [N]); raises if lib unavailable.
+
+    ``s2d=True`` emits the space-to-depth serving layout (H/2, W/2, 12)
+    directly from the decoder (the static-int8 stem's input format).
+    """
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native loader unavailable")
     h, w = size
     n = len(paths)
-    out = np.empty((n, h, w, 3), dtype=np.uint8)
+    shape = (n, h // 2, w // 2, 12) if s2d else (n, h, w, 3)
+    out = np.empty(shape, dtype=np.uint8)
     status = np.zeros(n, dtype=np.uint8)
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     lib.ievm_decode_batch(
-        c_paths, n, w, h,
+        c_paths, n, w, h, int(s2d),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         num_threads,

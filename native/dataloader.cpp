@@ -113,7 +113,28 @@ void resize_bilinear(const Image& src, int ow, int oh, uint8_t* dst) {
   }
 }
 
-bool load_one(const char* path, int ow, int oh, uint8_t* dst) {
+// Space-to-depth(2) repack: (oh, ow, 3) → (oh/2, ow/2, 12), channel order
+// ((sy*2+sx)*3 + c) — the TPU-friendly stem input layout (see
+// inference_efficient_vision_models_tpu/ops/space_to_depth.py).
+void s2d_repack(const uint8_t* src, int ow, int oh, uint8_t* dst) {
+  const int hw = ow / 2, hh = oh / 2;
+  for (int y = 0; y < hh; y++) {
+    for (int x = 0; x < hw; x++) {
+      uint8_t* d = dst + ((size_t)y * hw + x) * 12;
+      for (int sy = 0; sy < 2; sy++) {
+        const uint8_t* s = src + (((size_t)(2 * y + sy) * ow) + 2 * x) * 3;
+        for (int sx = 0; sx < 2; sx++) {
+          const int ch = (sy * 2 + sx) * 3;
+          d[ch + 0] = s[sx * 3 + 0];
+          d[ch + 1] = s[sx * 3 + 1];
+          d[ch + 2] = s[sx * 3 + 2];
+        }
+      }
+    }
+  }
+}
+
+bool load_one(const char* path, int ow, int oh, int s2d, uint8_t* dst) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   fseek(f, 0, SEEK_END);
@@ -126,11 +147,18 @@ bool load_one(const char* path, int ow, int oh, uint8_t* dst) {
 
   Image img;
   if (!decode_bmp(buf.data(), buf.size(), img)) return false;
-  if (img.w == ow && img.h == oh) {
-    memcpy(dst, img.rgb.data(), (size_t)ow * oh * 3);
-  } else {
-    resize_bilinear(img, ow, oh, dst);
+  std::vector<uint8_t> tmp;
+  uint8_t* rgb_dst = dst;
+  if (s2d) {
+    tmp.resize((size_t)ow * oh * 3);
+    rgb_dst = tmp.data();
   }
+  if (img.w == ow && img.h == oh) {
+    memcpy(rgb_dst, img.rgb.data(), (size_t)ow * oh * 3);
+  } else {
+    resize_bilinear(img, ow, oh, rgb_dst);
+  }
+  if (s2d) s2d_repack(rgb_dst, ow, oh, dst);
   return true;
 }
 
@@ -138,18 +166,20 @@ bool load_one(const char* path, int ow, int oh, uint8_t* dst) {
 
 extern "C" {
 
-// Decode + resize a batch of files into out[n][oh][ow][3] (uint8, NHWC).
-// paths: array of n C strings. status[i] = 1 on success, 0 on failure
-// (caller falls back to PIL for failed entries). Returns #successes.
-int ievm_decode_batch(const char** paths, int n, int ow, int oh,
+// Decode + resize a batch of files into out (uint8, NHWC). With s2d != 0 the
+// output layout per image is (oh/2, ow/2, 12) (space-to-depth, see above);
+// otherwise (oh, ow, 3). paths: array of n C strings. status[i] = 1 on
+// success, 0 on failure (caller falls back to PIL). Returns #successes.
+int ievm_decode_batch(const char** paths, int n, int ow, int oh, int s2d,
                       uint8_t* out, uint8_t* status, int num_threads) {
   if (num_threads < 1) num_threads = 1;
   std::atomic<int> next(0), ok(0);
+  const size_t stride = (size_t)ow * oh * 3;  // same byte count either layout
   auto worker = [&]() {
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) return;
-      bool good = load_one(paths[i], ow, oh, out + (size_t)i * ow * oh * 3);
+      bool good = load_one(paths[i], ow, oh, s2d, out + (size_t)i * stride);
       status[i] = good ? 1 : 0;
       if (good) ok.fetch_add(1);
     }
@@ -163,6 +193,6 @@ int ievm_decode_batch(const char** paths, int n, int ow, int oh,
 
 // Single-image variant (diagnostics).
 int ievm_decode_one(const char* path, int ow, int oh, uint8_t* out) {
-  return load_one(path, ow, oh, out) ? 1 : 0;
+  return load_one(path, ow, oh, 0, out) ? 1 : 0;
 }
 }

@@ -70,3 +70,16 @@ def test_load_images_falls_back_for_png(tmp_path):
     out = load_images([png, bmp], (32, 32))
     np.testing.assert_array_equal(out[0], arr)
     np.testing.assert_array_equal(out[1], arr)
+
+
+def test_native_s2d_matches_numpy(tmp_path):
+    from inference_efficient_vision_models_tpu.ops.space_to_depth import (
+        space_to_depth_u8,
+    )
+
+    paths = _write_bmps(tmp_path, n=3, size=64, mode="RGB")
+    full, ok = decode_batch_native(paths, (64, 64))
+    assert ok.all()
+    s2d, ok2 = decode_batch_native(paths, (64, 64), s2d=True)
+    assert ok2.all() and s2d.shape == (3, 32, 32, 12)
+    np.testing.assert_array_equal(s2d, space_to_depth_u8(full))
