@@ -361,6 +361,26 @@ def _conv_q(x_s, zp, in_scale, qc, stride, padding, *, relu, requant, impl, inte
                     HBM-bound by patch materialization.
     Returns requantized int8 or fp32.
     """
+    if impl == "auto":
+        # Route small-spatial layers through im2col + XLA int8 matmul.
+        # NOTE: isolated-op microbenchmarks favored this for H≤14, but the
+        # whole-model interleaved A/B measured it ~2× slower than "lax"
+        # (patch materialization breaks XLA's conv-chain fusion) — kept as a
+        # tested option; "lax" is the default for good reason.
+        h_out = x_s.shape[1] // stride
+        w_out = x_s.shape[2] // stride
+        if h_out * w_out <= 256:
+            from ...ops import conv_int8_im2col
+
+            return conv_int8_im2col(
+                x_s, qc["w_q"], qc["w_scale"], qc["bias"], qc["w_sum"],
+                stride=stride, padding=padding,
+                in_scale=in_scale, in_zp=zp, relu=relu,
+                out_scale=qc["out_scale"] if requant else None,
+                out_zp=qc["out_zp"] if requant else None,
+                backend="xla",
+            )
+        impl = "lax"
     if impl == "pallas" and qc["w_q"].shape[:2] == (3, 3) and stride == 1 and padding == 1:
         from ...ops import conv3x3_s1_int8
 

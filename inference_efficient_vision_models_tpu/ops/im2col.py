@@ -56,29 +56,43 @@ def conv_int8_im2col(
     out_scale: Optional[float] = None,
     out_zp: Optional[int] = None,
     interpret: bool = False,
+    backend: str = "pallas",
 ) -> jax.Array:
-    """Quantized conv via patches + fused int8 matmul.
+    """Quantized conv via patches + int8 matmul.
 
     Padding uses the shifted zero point so the affine correction stays the
     per-channel constant ``zp_s·Σw`` (see compress/quant/qresnet.py).
-    Returns (N,Ho,Wo,O) int8 (requantized) or fp32.
+    ``backend="pallas"`` runs the fused Pallas matmul kernel;
+    ``backend="xla"`` runs an XLA dot with the same epilogue (XLA fuses it) —
+    the better choice for small-spatial layers where XLA's direct conv
+    lowering degrades. Returns (N,Ho,Wo,O) int8 (requantized) or fp32.
     """
     kh, kw, c, o = w_q.shape
     n = x_s.shape[0]
     zp_s = (jnp.asarray(in_zp, jnp.int32) - 128).astype(jnp.int8)
     patches, ho, wo = _extract_patches_nhwc(x_s, kh, kw, stride, padding, zp_s)
     m = n * ho * wo
-    out = int8_matmul_requant(
-        patches.reshape(m, kh * kw * c),
-        w_q.reshape(kh * kw * c, o),
-        w_scale,
-        bias,
-        w_sum,
-        in_scale=in_scale,
-        in_zp=in_zp,
-        relu=relu,
-        out_scale=out_scale,
-        out_zp=out_zp,
-        interpret=interpret,
-    )
+    pm = patches.reshape(m, kh * kw * c)
+    wm = w_q.reshape(kh * kw * c, o)
+    if backend == "xla":
+        acc = jax.lax.dot_general(
+            pm, wm, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        acc = acc - (jnp.asarray(in_zp, jnp.int32) - 128) * w_sum
+        y = acc.astype(jnp.float32) * (
+            jnp.asarray(in_scale, jnp.float32) * w_scale
+        ) + bias
+        if relu:
+            y = jax.nn.relu(y)
+        if out_scale is not None:
+            q = jnp.round(y / out_scale) + out_zp
+            out = (jnp.clip(q, 0, 255) - 128).astype(jnp.int8)
+        else:
+            out = y
+    else:
+        out = int8_matmul_requant(
+            pm, wm, w_scale, bias, w_sum,
+            in_scale=in_scale, in_zp=in_zp, relu=relu,
+            out_scale=out_scale, out_zp=out_zp, interpret=interpret,
+        )
     return out.reshape(n, ho, wo, o)

@@ -39,3 +39,17 @@ def test_im2col_impl_matches_lax():
     # identical graph math up to 1-ulp requant rounding ties
     np.testing.assert_allclose(got, ref, rtol=0.02, atol=0.02)
     assert (got.argmax(1) == ref.argmax(1)).all()
+
+
+def test_auto_impl_matches_lax():
+    spec, params, state = create_model("resnet18", num_classes=6)
+    cfg = _Cfg()
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 255, (16, 64, 64, 3)).astype(np.uint8)
+    eng = QuantizationEngine(cfg, spec, params, state, logging.getLogger("q"))
+    qmodel, _ = eng.static_quantize((imgs, np.zeros(16, np.int32)))
+    x = jnp.asarray(imgs[:4])
+    ref = np.asarray(qresnet.apply_int8(spec, qmodel, x, impl="lax"))
+    got = np.asarray(qresnet.apply_int8(spec, qmodel, x, impl="auto"))
+    np.testing.assert_allclose(got, ref, rtol=0.02, atol=0.02)
+    assert (got.argmax(1) == ref.argmax(1)).all()
