@@ -35,7 +35,10 @@ def main():
     from inference_efficient_vision_models_tpu.utils import (
         cpu_device,
         device_materialize,
+        enable_compilation_cache,
     )
+
+    enable_compilation_cache()
 
     BATCH = 256
     TARGET_IPS = 10_000.0

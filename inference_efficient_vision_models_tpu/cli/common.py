@@ -47,6 +47,9 @@ def setup_stage(cfg) -> Tuple:
     ``load_stage_split`` against the *source* experiment instead of
     re-deriving (fixes reference split divergence, SURVEY.md §2.3).
     """
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
     logger = get_logger(cfg)
     logger.info("config: %r", cfg)
     root_key = set_seed(cfg.seed)

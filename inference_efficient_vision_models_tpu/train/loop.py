@@ -43,6 +43,8 @@ def _run_epoch(step_fn, carry, loader, extra_args=(), debug_mode=False, mesh=Non
 
         place = lambda b: shard_batch(mesh, b)  # noqa: E731
     bar = _progress(loader)
+    device_metrics = []  # stay on device: a host sync per step would
+    # serialize the loop on dispatch latency (costly over remote transports)
     for i, batch in enumerate(bar):
         if debug_mode and i == 2:
             break
@@ -51,12 +53,14 @@ def _run_epoch(step_fn, carry, loader, extra_args=(), debug_mode=False, mesh=Non
         params, state, opt = carry
         params, state, opt, m = step_fn(params, state, opt, *extra_args, batch)
         carry = (params, state, opt)
+        device_metrics.append(m)
+        if hasattr(bar, "set_postfix"):
+            bar.set_postfix(loss=f"{float(m['loss']):.4f}")
+    for m in jax.device_get(device_metrics):
         n = float(m["n"])
         tot_loss += float(m["loss"]) * n
         tot_acc += float(m["acc"]) * n
         tot_n += n
-        if hasattr(bar, "set_postfix"):
-            bar.set_postfix(loss=f"{tot_loss / max(tot_n, 1):.4f}")
     return carry, tot_loss / max(tot_n, 1), tot_acc / max(tot_n, 1), time.time() - t0
 
 

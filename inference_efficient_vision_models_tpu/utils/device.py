@@ -35,5 +35,24 @@ def cpu_device():
     return jax.devices("cpu")[0]
 
 
+def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    """Persistent XLA compilation cache: repeat CLI/bench invocations skip
+    the (slow, esp. over remote transports) compile step. Verified working
+    on this backend; a couple of seconds overhead max when cold."""
+    import os
+
+    if cache_dir is None:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        cache_dir = os.path.join(root, ".jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax / read-only fs — cache is an optimization only
+
+
 def tree_size_bytes(tree) -> int:
     return sum(leaf.size * leaf.dtype.itemsize for leaf in jax.tree.leaves(tree))
