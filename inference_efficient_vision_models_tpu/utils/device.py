@@ -47,6 +47,11 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
         )
         cache_dir = os.path.join(root, ".jax_cache")
     try:
+        if jax.default_backend() != "tpu":
+            # CPU AOT cache entries embed host machine features and warn
+            # about possible SIGILL on mismatch — not worth it for the CPU
+            # backend, where compiles are fast anyway.
+            return
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
