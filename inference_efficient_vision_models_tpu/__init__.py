@@ -33,10 +33,11 @@ data/      NEU-DET scan, stratified K-fold, device-feeding pipelines, synthetic 
 models/    ResNet18/50 (+ widths descriptor) as pure init/apply
 train/     jitted CE / KD train + eval steps, AdamW
 compress/  prune/ (dependency-graph structured pruning), quant/ (PTQ)
-ops/       Pallas TPU kernels (int8 matmul/conv, quant primitives)
-parallel/  mesh + sharding helpers (dp / tp)
+ops/       Pallas TPU kernels (int8 matmul/conv, space-to-depth, quant primitives)
+parallel/  mesh + sharding helpers (dp / tp), multi-host init
 metrics/   accuracy, throughput, latency, FLOPs, model size
 cli/       the four stage entry points (reference CLI contract)
+serving    pipelined Predictor + quantized-artifact loading
 """
 
 __version__ = "0.1.0"

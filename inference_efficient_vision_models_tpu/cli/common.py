@@ -42,10 +42,11 @@ def make_config(cfg_cls: Type, argv=None):
 def setup_stage(cfg) -> Tuple:
     """Common preamble: logger, seed, dataset, persisted fold split.
 
-    Returns (logger, root_key, data, fold_idx_dict). The split is created
-    once per experiment and reloaded afterwards — later stages call
-    ``load_stage_split`` against the *source* experiment instead of
-    re-deriving (fixes reference split divergence, SURVEY.md §2.3).
+    Returns (logger, root_key, data, fold_idx_dict). The split derivation is
+    deterministic (one canonical implementation, same seed), so every stage
+    reconstructs the identical split and persists it to its own
+    fold_idx_dict.json — verified identical across stages in
+    tests/test_pipeline.py (fixes reference split divergence, SURVEY.md §2.3).
     """
     from ..utils import enable_compilation_cache
 
@@ -62,14 +63,6 @@ def setup_stage(cfg) -> Tuple:
     else:
         logger.info("reusing persisted %d-fold split", len(split))
     return logger, root_key, data, split
-
-
-def load_stage_split(exp_dir: str, cfg, labels):
-    """Load the split persisted by an upstream stage, else derive it."""
-    split = artifacts.load_fold_split(exp_dir)
-    if split is None:
-        split = create_fold_split_idx(cfg.num_folds, labels, cfg.seed)
-    return split
 
 
 def fold_arrays(data, split, fold: int):

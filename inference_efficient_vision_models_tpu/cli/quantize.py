@@ -99,7 +99,6 @@ def run_quantize(cfg, logger, data, split):
 
         engine = QuantizationEngine(cfg, spec, params, state, logger)
         fp32_mb = engine.size_mb(engine.folded)
-        fp32_fn = None
 
         methods = {
             "fp32": lambda: (engine.folded, None),
