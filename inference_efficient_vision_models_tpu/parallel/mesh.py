@@ -90,6 +90,17 @@ def param_shardings(mesh: Mesh, params, *, tp_head: bool = True):
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch so its leading dim is split over the data axis."""
+    """Place a host batch so its leading dim is split over the data axis.
+
+    Multi-host: each process passes its LOCAL shard of the global batch and
+    the pieces assemble into one global array
+    (``jax.make_array_from_process_local_data``); single-host it is a plain
+    sharded device_put.
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(sh, np.asarray(a)),
+            batch,
+        )
     return jax.tree.map(lambda a: jax.device_put(a, sh), batch)

@@ -79,13 +79,24 @@ def _progress(loader):
         return loader
 
 
-def evaluate(eval_step, params, state, loader, debug_mode=False) -> Dict[str, float]:
+def evaluate(
+    eval_step, params, state, loader, debug_mode=False, mesh=None
+) -> Dict[str, float]:
     """Returns {'loss', 'acc', 'n'} (fractions, not percents)."""
-    sums = {"sum_loss": 0.0, "sum_correct": 0.0, "n": 0.0}
+    place = None
+    if mesh is not None:
+        from ..parallel import shard_batch
+
+        place = lambda b: shard_batch(mesh, b)  # noqa: E731
+    outs = []
     for i, batch in enumerate(loader):
         if debug_mode and i == 2:
             break
-        out = eval_step(params, state, batch)
+        if place is not None:
+            batch = place(batch)
+        outs.append(eval_step(params, state, batch))
+    sums = {"sum_loss": 0.0, "sum_correct": 0.0, "n": 0.0}
+    for out in jax.device_get(outs):
         for k in sums:
             sums[k] += float(out[k])
     n = max(sums["n"], 1.0)
@@ -178,7 +189,7 @@ def train_classifier(
         carry, tr_loss, tr_acc, secs = _run_epoch(
             step, carry, train_loader, extra, cfg.DEBUG_MODE, mesh=mesh
         )
-        val = evaluate(eval_step, carry[0], carry[1], val_loader, cfg.DEBUG_MODE)
+        val = evaluate(eval_step, carry[0], carry[1], val_loader, cfg.DEBUG_MODE, mesh=mesh)
         history["train_loss"].append(tr_loss)
         history["train_acc"].append(tr_acc)
         history["val_loss"].append(val["loss"])
