@@ -111,6 +111,33 @@ def main():
     got = np.asarray(fwd(qmodel, jnp.asarray(space_to_depth_u8(test_imgs))))
     agree = float((ref.argmax(1) == got.argmax(1)).mean())
 
+    # fp32 / fp16 reference points (same pruned model, folded float path)
+    def float_ips(dtype):
+        m = jax.tree.map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, folded
+        )
+        m = device_materialize(m)
+        f = jax.jit(
+            lambda mm, x_u8: qresnet.apply_folded(
+                pspec, mm, normalize_images(x_u8, dtype)
+            )
+        )
+        xf = jnp.asarray(x_full)
+        for _ in range(3):
+            r = f(m, xf)
+        r.block_until_ready()
+        best = float("inf")
+        for _round in range(2):
+            t0 = time.perf_counter()
+            for _ in range(20):
+                r = f(m, xf)
+            r.block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return BATCH * 20 / best
+
+    fp32_ips = float_ips(jnp.float32)
+    fp16_ips = float_ips(jnp.float16)
+
     print(json.dumps({
         "metric": "int8_pruned_resnet18_throughput",
         "value": round(ips, 1),
@@ -119,6 +146,8 @@ def main():
         "batch_size": BATCH,
         "batch_ms": round(batch_ms, 3),
         "p50_latency_ms_bs1_sync": round(p50, 3),
+        "fp32_img_per_s": round(fp32_ips, 1),
+        "fp16_img_per_s": round(fp16_ips, 1),
         "int8_vs_fp32_argmax_agreement": agree,
         "params_M": round(
             sum(int(p.size) for p in jax.tree.leaves(pparams)) / 1e6, 3
