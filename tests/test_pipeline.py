@@ -37,6 +37,7 @@ def _args(root, extra):
     return [f"artifacts_root='{root}'"] + COMMON + extra
 
 
+@pytest.mark.slow
 def test_stage1_teacher(pipeline_root):
     res = teacher.main(_args(pipeline_root, ["choice=1", "model_name='resnet18'"]))
     assert len(res) == 2
@@ -49,6 +50,7 @@ def test_stage1_teacher(pipeline_root):
     )
 
 
+@pytest.mark.slow
 def test_stage2_kd(pipeline_root):
     res = kd.main(_args(pipeline_root, [
         "choice=1", "teacher_model='resnet18'", "student_model='resnet18'",
@@ -63,6 +65,7 @@ def test_stage2_kd(pipeline_root):
     assert t_split == k_split
 
 
+@pytest.mark.slow
 def test_stage3_prune(pipeline_root):
     rows = prune.main(_args(pipeline_root, [
         "choice=1", "pruning_ratio=0.2", "round_to=8", "finetune_epochs=1",
@@ -79,6 +82,7 @@ def test_stage3_prune(pipeline_root):
     assert all(w % 8 == 0 for w in spec["stage_widths"])
 
 
+@pytest.mark.slow
 def test_stage3_prune_taylor_and_global(pipeline_root):
     """CLI pass-through of the alternative pruning criteria."""
     rows = prune.main(_args(pipeline_root, [
@@ -95,6 +99,7 @@ def test_stage3_prune_taylor_and_global(pipeline_root):
     assert by[(0, "pruned")]["Params (M)"] < by[(0, "baseline")]["Params (M)"]
 
 
+@pytest.mark.slow
 def test_stage4_quantize(pipeline_root):
     rows = quantize.main(_args(pipeline_root, [
         "model_type='pruned'", "calibration_images=32",

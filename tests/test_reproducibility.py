@@ -9,6 +9,7 @@ pins the contract.
 import logging
 
 import numpy as np
+import pytest
 
 from inference_efficient_vision_models_tpu.core import TeacherConfig
 from inference_efficient_vision_models_tpu.data import make_synthetic_neudet
@@ -16,6 +17,7 @@ from inference_efficient_vision_models_tpu.models import create_model
 from inference_efficient_vision_models_tpu.train import train_classifier
 
 
+@pytest.mark.slow
 def test_same_seed_same_trajectory(tmp_path):
     imgs, labels = make_synthetic_neudet(8, 32, seed=0)
     histories = []

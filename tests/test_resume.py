@@ -4,6 +4,7 @@ continues from the saved optimizer state and epoch counter."""
 import logging
 
 import numpy as np
+import pytest
 
 from inference_efficient_vision_models_tpu.core import TeacherConfig, artifacts
 from inference_efficient_vision_models_tpu.data import make_synthetic_neudet
@@ -25,6 +26,7 @@ def _cfg(tmp_path, epochs):
     )
 
 
+@pytest.mark.slow
 def test_resume_continues_from_last(tmp_path):
     imgs, labels = make_synthetic_neudet(10, 32, seed=0)
     train_d, val_d = (imgs[:48], labels[:48]), (imgs[48:], labels[48:])
@@ -58,6 +60,7 @@ def test_resume_continues_from_last(tmp_path):
     assert len(hist3["train_loss"]) == 3
 
 
+@pytest.mark.slow
 def test_fresh_run_without_resume(tmp_path):
     imgs, labels = make_synthetic_neudet(10, 32, seed=0)
     logger = logging.getLogger("resume2")

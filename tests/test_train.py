@@ -105,6 +105,7 @@ def test_batches_padding_and_shuffle():
     assert order2  # epoch counter advanced without error
 
 
+@pytest.mark.slow
 def test_training_reduces_loss_smoke(tmp_path):
     """Tiny ResNet18 on tiny synthetic data: loss must drop within an epoch."""
     import logging
