@@ -4,7 +4,7 @@ from .observers import (
     minmax_qparams_symmetric_per_channel,
 )
 from .engine import QuantizationEngine
-from . import qresnet
+from . import qresnet, qvit
 
 __all__ = [
     "ObserverState",
@@ -12,4 +12,5 @@ __all__ = [
     "minmax_qparams_symmetric_per_channel",
     "QuantizationEngine",
     "qresnet",
+    "qvit",
 ]

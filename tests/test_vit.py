@@ -68,3 +68,31 @@ def test_vit_trains_and_kd_from_resnet(tmp_path):
         teacher=(t_spec, t_params, t_state),
     )
     assert np.isfinite(hist["train_loss"]).all()
+
+
+def test_vit_dynamic_int8_close_to_fp32():
+    """Dynamic-int8 ViT tracks the fp32 model and serializes ~4x smaller."""
+    import numpy as _np
+
+    from inference_efficient_vision_models_tpu.compress.quant import qvit
+    from inference_efficient_vision_models_tpu.metrics.profile import (
+        model_size_bytes,
+    )
+    from inference_efficient_vision_models_tpu.models.vit import ViTSpec, init
+
+    spec = ViTSpec(
+        name="vit_test", patch=8, dim=128, depth=3, heads=4, mlp_ratio=2.0,
+        num_classes=6, image_size=32,
+    )
+    params, state = init(jax.random.PRNGKey(1), spec)
+    q = qvit.convert_dynamic_int8(spec, params)
+
+    x = jnp.asarray(
+        _np.random.default_rng(0).standard_normal((3, 32, 32, 3)), jnp.float32
+    )
+    ref, _ = apply_model(spec, params, state, x)
+    got = qvit.apply_dynamic_int8(spec, q, x)
+    _np.testing.assert_allclose(_np.asarray(got), _np.asarray(ref), rtol=0.15, atol=0.15)
+    assert (_np.asarray(got).argmax(1) == _np.asarray(ref).argmax(1)).all()
+    # dense weights dominate a ViT → int8 pytree much smaller
+    assert model_size_bytes(q) < model_size_bytes(params) * 0.45
