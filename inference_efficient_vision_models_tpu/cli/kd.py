@@ -61,6 +61,7 @@ def run_train(cfg, logger, data, split):
                 cfg.num_classes,
                 key=key_for(jax.random.PRNGKey(cfg.seed), "kd_fold", fold, "init"),
                 pretrained=True,
+                logger=logger,
             )
         params, state, hist = train_classifier(
             cfg, spec, params, state, train_d, val_d, cfg.fold_dir(fold), logger,

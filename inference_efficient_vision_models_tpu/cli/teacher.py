@@ -45,6 +45,7 @@ def run_train(cfg, logger, data, split):
                 cfg.num_classes,
                 key=key_for(jax.random.PRNGKey(cfg.seed), "fold", fold, "init"),
                 pretrained=cfg.pretrained,
+                logger=logger,
             )
         params, state, hist = train_classifier(
             cfg, spec, params, state, train_d, val_d, cfg.fold_dir(fold), logger

@@ -56,11 +56,15 @@ def select_channels(
     if global_pruning:
         # One threshold across all groups on mean-normalized scores
         # (reference knob `p_config.py:33`).
+        if ratio >= 1.0:
+            raise ValueError(f"pruning ratio must be < 1.0, got {ratio}")
         all_scores = np.concatenate(
             [s / (s.mean() + 1e-12) for s in scores.values()]
         )
-        k = int(ratio * len(all_scores))
-        thresh = np.sort(all_scores)[k] if k > 0 else -np.inf
+        # 'sn >= thresh' below keeps exactly len-k channels modulo ties;
+        # clamp k so the index stays in range even at extreme ratios
+        k = min(int(ratio * len(all_scores)), len(all_scores) - 1)
+        thresh = np.partition(all_scores, k)[k] if k > 0 else -np.inf
 
     keep: Dict[GroupKey, np.ndarray] = {}
     for g in groups:

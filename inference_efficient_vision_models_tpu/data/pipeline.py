@@ -73,5 +73,13 @@ class Batches:
             mask = np.ones(bs, dtype=np.float32)
             if pad:
                 mask[len(idx):] = 0.0
-                idx = np.concatenate([idx, np.zeros(pad, dtype=idx.dtype)])
+                if self.shuffle and n > 1:
+                    # Training: pad with DISTINCT samples (wrap around the
+                    # epoch's order) so train-mode BatchNorm statistics are
+                    # computed over real images, not index-0 duplicates; the
+                    # mask still zeroes their loss/accuracy contribution.
+                    fill = np.resize(order[: max(n - len(idx), 1)], pad)
+                else:
+                    fill = np.zeros(pad, dtype=idx.dtype)
+                idx = np.concatenate([idx, fill.astype(idx.dtype)])
             yield self.images[idx], self.labels[idx], mask

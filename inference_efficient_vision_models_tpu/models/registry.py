@@ -55,6 +55,7 @@ def create_model(
     *,
     key: jax.Array | None = None,
     pretrained: bool = False,
+    logger=None,
 ) -> Tuple[ResNetSpec, Any, Any]:
     """Returns ``(spec, params, state)``.
 
@@ -72,6 +73,15 @@ def create_model(
             from .torch_import import load_torchvision_pretrained
 
             params, state = load_torchvision_pretrained(spec, params, state)
-        except Exception:  # no cache / no network — keep random init
-            pass
+        except Exception as e:  # no cache / no network — keep random init
+            # never fall back silently: a pretrained=True run that quietly
+            # trains from scratch is a correctness trap (the reference logs
+            # the failure too, `teacher_training/utils.py:61-66`)
+            import logging
+
+            (logger or logging.getLogger("ievm")).warning(
+                "pretrained=True requested for %s but no torchvision weight "
+                "cache is available (%s: %s) — falling back to RANDOM init",
+                spec.name, type(e).__name__, e,
+            )
     return spec, params, state

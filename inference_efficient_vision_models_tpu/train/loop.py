@@ -54,8 +54,10 @@ def _run_epoch(step_fn, carry, loader, extra_args=(), debug_mode=False, mesh=Non
         params, state, opt, m = step_fn(params, state, opt, *extra_args, batch)
         carry = (params, state, opt)
         device_metrics.append(m)
-        if hasattr(bar, "set_postfix"):
-            bar.set_postfix(loss=f"{float(m['loss']):.4f}")
+        if hasattr(bar, "set_postfix") and i % 25 == 24:
+            # fetch a LAGGED metric (several steps old, so its value is
+            # already resident) to keep the hot loop free of per-step syncs
+            bar.set_postfix(loss=f"{float(device_metrics[-20]['loss']):.4f}")
     for m in jax.device_get(device_metrics):
         n = float(m["n"])
         tot_loss += float(m["loss"]) * n
@@ -173,6 +175,10 @@ def train_classifier(
             start_epoch = int(raw["meta"]["epoch"]) + 1
             best_acc = float(raw["meta"]["best_acc"])
             history = artifacts.load_training_log(fold_dir) or history
+            # restore the shuffle schedule: epoch e draws order from
+            # seed+e, so a resumed run continues the same batch-order
+            # trajectory instead of re-seeing epoch 0's order
+            train_loader.epoch = start_epoch
             logger.info(
                 "resuming from epoch %d (best val acc %.2f%%)", start_epoch, best_acc * 100
             )

@@ -49,6 +49,13 @@ bool decode_bmp(const uint8_t* buf, size_t len, Image& out) {
   const uint8_t* palette = buf + 14 + hdr_size;
   uint32_t palette_len = (bpp == 8) ? rd32(buf + 46) : 0;
   if (bpp == 8 && palette_len == 0) palette_len = 256;
+  // The palette table must fit inside the buffer AND precede the pixel data;
+  // a malformed/truncated 8-bpp file must not cause out-of-bounds reads.
+  if (bpp == 8) {
+    uint64_t palette_end = 14ull + hdr_size + (uint64_t)palette_len * 4;
+    if (palette_len > 256 || palette_end > len || palette_end > data_off)
+      return false;
+  }
 
   size_t row_bytes = ((size_t)w * bpp / 8 + 3) & ~size_t(3);
   if (data_off + row_bytes * ah > len) return false;

@@ -43,11 +43,28 @@ def test_resume_continues_from_last(tmp_path):
     step_after_1 = int(np.asarray(raw["opt"]["step"]))
     assert step_after_1 > 0
 
-    # phase 2: rerun with epochs=3 → resumes at epoch 1, optimizer continues
-    cfg2 = _cfg(tmp_path, epochs=3)
-    _, _, hist = train_classifier(
-        cfg2, spec, params, state, train_d, val_d, fold_dir, logger
-    )
+    # phase 2: rerun with epochs=3 → resumes at epoch 1, optimizer continues,
+    # and the shuffle schedule continues (first resumed epoch must draw the
+    # epoch-1 order, not restart at epoch 0's)
+    import inference_efficient_vision_models_tpu.train.loop as loop_mod
+
+    seen_epochs = []
+    orig_iter = loop_mod.Batches.__iter__
+
+    def spy_iter(self):
+        if self.shuffle:
+            seen_epochs.append(self.epoch)
+        return orig_iter(self)
+
+    loop_mod.Batches.__iter__ = spy_iter
+    try:
+        cfg2 = _cfg(tmp_path, epochs=3)
+        _, _, hist = train_classifier(
+            cfg2, spec, params, state, train_d, val_d, fold_dir, logger
+        )
+    finally:
+        loop_mod.Batches.__iter__ = orig_iter
+    assert seen_epochs[:2] == [1, 2], seen_epochs
     raw2 = artifacts.load_checkpoint_raw(fold_dir, "last")
     assert int(raw2["meta"]["epoch"]) == 2
     assert int(np.asarray(raw2["opt"]["step"])) == 3 * step_after_1
