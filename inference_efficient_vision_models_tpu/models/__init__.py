@@ -1,12 +1,23 @@
-from . import resnet
+from . import mobilenet, resnet, vit
+from .mobilenet import MobileNetV2Spec, mobilenet_v2_spec
+from .registry import apply_model, create_model, make_spec, model_module, spec_from_dict
+from .vit import ViTSpec, vit_spec
 from .widths import ResNetSpec, resnet_spec, residual_groups
-from .registry import create_model, make_spec
 
 __all__ = [
     "resnet",
+    "vit",
+    "mobilenet",
     "ResNetSpec",
+    "ViTSpec",
+    "MobileNetV2Spec",
     "resnet_spec",
+    "vit_spec",
+    "mobilenet_v2_spec",
     "residual_groups",
     "create_model",
     "make_spec",
+    "model_module",
+    "apply_model",
+    "spec_from_dict",
 ]

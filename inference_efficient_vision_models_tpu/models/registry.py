@@ -10,33 +10,43 @@ from typing import Any, Dict, Tuple, Union
 
 import jax
 
-from . import resnet, vit
+from . import mobilenet, resnet, vit
+from .mobilenet import MobileNetV2Spec, mobilenet_v2_spec
 from .vit import ViTSpec, vit_spec
 from .widths import ResNetSpec, resnet_spec
 
-SpecLike = Union[str, Dict, ResNetSpec, ViTSpec]
+SpecLike = Union[str, Dict, ResNetSpec, ViTSpec, MobileNetV2Spec]
 
 
 def spec_from_dict(d: Dict):
-    """Spec-JSON → the right spec dataclass (vit dicts carry __kind__)."""
-    if d.get("__kind__") == "vit" or "patch" in d:
+    """Spec-JSON → the right spec dataclass (non-resnet dicts carry __kind__)."""
+    kind = d.get("__kind__")
+    if kind == "vit" or "patch" in d:
         return ViTSpec.from_dict(d)
+    if kind == "mobilenet_v2" or "hidden_widths" in d:
+        return MobileNetV2Spec.from_dict(d)
     return ResNetSpec.from_dict(d)
 
 
 def make_spec(model: SpecLike, num_classes: int = 6, in_chans: int = 3):
-    if isinstance(model, (ResNetSpec, ViTSpec)):
+    if isinstance(model, (ResNetSpec, ViTSpec, MobileNetV2Spec)):
         return model
     if isinstance(model, dict):
         return spec_from_dict(model)
     if model.startswith("vit_"):
         return vit_spec(model, num_classes=num_classes)
+    if model == "mobilenet_v2":
+        return mobilenet_v2_spec(num_classes=num_classes, in_chans=in_chans)
     return resnet_spec(model, num_classes=num_classes, in_chans=in_chans)
 
 
 def model_module(spec):
     """The functional module (init/apply/param_count) for a spec."""
-    return vit if isinstance(spec, ViTSpec) else resnet
+    if isinstance(spec, ViTSpec):
+        return vit
+    if isinstance(spec, MobileNetV2Spec):
+        return mobilenet
+    return resnet
 
 
 def apply_model(spec, params, state, x, *, train=False, compute_dtype=None, **kw):

@@ -72,6 +72,54 @@ def from_torch_state_dict(
     return params, state
 
 
+def from_torch_state_dict_mbv2(spec, sd: Dict[str, Any]) -> Tuple[Dict, Dict]:
+    """torchvision-style MobileNetV2 state_dict → our (params, state).
+
+    Naming contract (torchvision `mobilenet_v2`): ``features.0.{0,1}`` stem,
+    ``features.i.conv.{0.0,0.1,1.0,1.1,2,3}`` inverted residuals (t>1) or
+    ``conv.{0.0,0.1,1,2}`` (t=1), ``features.18.{0,1}`` last conv,
+    ``classifier.1`` head.
+    """
+    sd = _strip(sd)
+
+    def bn(prefix):
+        p = {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+        s = {"mean": sd[f"{prefix}.running_mean"], "var": sd[f"{prefix}.running_var"]}
+        return p, s
+
+    params: Dict[str, Any] = {"stem": {"w": _conv(sd["features.0.0.weight"])}}
+    state: Dict[str, Any] = {}
+    params["stem_bn"], state["stem_bn"] = bn("features.0.1")
+
+    feat_i = 1
+    for s_i, depth in enumerate(spec.depths):
+        lp, ls = {}, {}
+        for b in range(depth):
+            pre = f"features.{feat_i}.conv"
+            bp, bs = {}, {}
+            if spec.has_expand[s_i][b]:
+                bp["expand"] = {"w": _conv(sd[f"{pre}.0.0.weight"])}
+                bp["expand_bn"], bs["expand_bn"] = bn(f"{pre}.0.1")
+                dw_pre, proj_i, pbn_i = f"{pre}.1", 2, 3
+            else:
+                dw_pre, proj_i, pbn_i = f"{pre}.0", 1, 2
+            bp["dw"] = {"w": _conv(sd[f"{dw_pre}.0.weight"])}
+            bp["dw_bn"], bs["dw_bn"] = bn(f"{dw_pre}.1")
+            bp["project"] = {"w": _conv(sd[f"{pre}.{proj_i}.weight"])}
+            bp["project_bn"], bs["project_bn"] = bn(f"{pre}.{pbn_i}")
+            lp[str(b)], ls[str(b)] = bp, bs
+            feat_i += 1
+        params[f"stage{s_i}"], state[f"stage{s_i}"] = lp, ls
+
+    params["last"] = {"w": _conv(sd[f"features.{feat_i}.0.weight"])}
+    params["last_bn"], state["last_bn"] = bn(f"features.{feat_i}.1")
+    params["fc"] = {
+        "w": np.transpose(sd["classifier.1.weight"], (1, 0)).copy(),
+        "b": sd["classifier.1.bias"],
+    }
+    return params, state
+
+
 def load_torch_checkpoint(spec: ResNetSpec, path: str) -> Tuple[Dict, Dict]:
     """Load a reference ``.pth`` checkpoint file (torch pickle) from disk."""
     import torch
@@ -79,6 +127,10 @@ def load_torch_checkpoint(spec: ResNetSpec, path: str) -> Tuple[Dict, Dict]:
     sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):  # full pickled module (pruned artifact)
         sd = sd.state_dict()
+    from .mobilenet import MobileNetV2Spec
+
+    if isinstance(spec, MobileNetV2Spec):
+        return from_torch_state_dict_mbv2(spec, sd)
     return from_torch_state_dict(spec, sd)
 
 

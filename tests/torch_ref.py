@@ -102,3 +102,80 @@ def resnet18(num_classes=1000):
 
 def resnet50(num_classes=1000):
     return ResNet(Bottleneck, [3, 4, 6, 3], num_classes)
+
+
+# ----------------------------------------------------------------------------
+# MobileNetV2 oracle (torchvision-compatible parameter naming:
+# features.0.{0,1}, features.i.conv.*, features.18.{0,1}, classifier.1)
+# ----------------------------------------------------------------------------
+
+
+class InvertedResidual(nn.Module):
+    def __init__(self, inp, oup, stride, expand_ratio):
+        super().__init__()
+        self.stride = stride
+        hidden = int(round(inp * expand_ratio))
+        self.use_res_connect = stride == 1 and inp == oup
+        layers = []
+        if expand_ratio != 1:
+            layers += [
+                nn.Sequential(
+                    nn.Conv2d(inp, hidden, 1, 1, 0, bias=False),
+                    nn.BatchNorm2d(hidden),
+                    nn.ReLU6(inplace=True),
+                )
+            ]
+        layers += [
+            nn.Sequential(
+                nn.Conv2d(hidden, hidden, 3, stride, 1, groups=hidden, bias=False),
+                nn.BatchNorm2d(hidden),
+                nn.ReLU6(inplace=True),
+            ),
+            nn.Conv2d(hidden, oup, 1, 1, 0, bias=False),
+            nn.BatchNorm2d(oup),
+        ]
+        self.conv = nn.Sequential(*layers)
+
+    def forward(self, x):
+        out = self.conv(x)
+        return x + out if self.use_res_connect else out
+
+
+class MobileNetV2(nn.Module):
+    SETTING = [
+        (1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+        (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1),
+    ]
+
+    def __init__(self, num_classes=1000):
+        super().__init__()
+        features = [
+            nn.Sequential(
+                nn.Conv2d(3, 32, 3, 2, 1, bias=False),
+                nn.BatchNorm2d(32),
+                nn.ReLU6(inplace=True),
+            )
+        ]
+        cin = 32
+        for t, c, n, s in self.SETTING:
+            for b in range(n):
+                features.append(InvertedResidual(cin, c, s if b == 0 else 1, t))
+                cin = c
+        features.append(
+            nn.Sequential(
+                nn.Conv2d(cin, 1280, 1, 1, 0, bias=False),
+                nn.BatchNorm2d(1280),
+                nn.ReLU6(inplace=True),
+            )
+        )
+        self.features = nn.Sequential(*features)
+        self.classifier = nn.Sequential(nn.Dropout(0.2), nn.Linear(1280, num_classes))
+
+    def forward(self, x):
+        x = self.features(x)
+        x = x.mean(dim=(2, 3))
+        return self.classifier(x)
+
+
+def mobilenet_v2(num_classes=1000):
+    return MobileNetV2(num_classes)
