@@ -87,16 +87,13 @@ def select_channels(
 
 
 def apply_pruning(
-    spec: ResNetSpec, params, state, keep: Dict[GroupKey, np.ndarray]
+    spec, params, state, keep: Dict[GroupKey, np.ndarray]
 ) -> Tuple[ResNetSpec, dict, dict]:
     """Physically slice every coupled array; return the smaller model."""
     params = copy.deepcopy(jax.device_get(params))
     state = copy.deepcopy(jax.device_get(state))
 
-    stage_widths = list(spec.stage_widths)
-    inner = [[list(blk) for blk in stg] for stg in spec.inner_widths]
-    stem_width = spec.stem_width
-
+    new_widths: Dict[GroupKey, int] = {}
     for g in group_slices(spec):
         key = tuple(g["key"])
         if key not in keep:
@@ -115,22 +112,53 @@ def apply_pruning(
             set_path(params, path, np.take(np.asarray(get_path(params, path)), idx, axis=axis))
         if g["fc_in"]:
             params["fc"]["w"] = np.take(np.asarray(params["fc"]["w"]), idx, axis=0)
+        new_widths[key] = len(idx)
 
-        # record new width in the descriptor
+    return _rebuild_spec(spec, new_widths), params, state
+
+
+def _rebuild_spec(spec, new_widths: Dict[GroupKey, int]):
+    """Record pruned widths into a fresh descriptor (family-specific keys)."""
+    from ...models.mobilenet import MobileNetV2Spec
+
+    if isinstance(spec, MobileNetV2Spec):
+        widths = list(spec.stage_widths)
+        hidden = [list(r) for r in spec.hidden_widths]
+        stem, last = spec.stem_width, spec.last_width
+        for key, n in new_widths.items():
+            if key[0] == "stem":
+                stem = n
+            elif key[0] == "stage":
+                widths[key[1]] = n
+            elif key[0] == "hidden":
+                hidden[key[1]][key[2]] = n
+            elif key[0] == "last":
+                last = n
+        new = spec.with_widths(widths, hidden, stem, last)
+        # t=1 blocks share their input group: keep hidden == input width
+        hidden2 = [list(r) for r in new.hidden_widths]
+        for s, depth in enumerate(new.depths):
+            for b in range(depth):
+                if not new.has_expand[s][b]:
+                    hidden2[s][b] = new.block_in_width(s, b)
+        return new.with_widths(hidden_widths=hidden2)
+
+    stage_widths = list(spec.stage_widths)
+    inner = [[list(blk) for blk in stg] for stg in spec.inner_widths]
+    stem_width = spec.stem_width
+    for key, n in new_widths.items():
         if key[0] == "stem":
-            stem_width = len(idx)
+            stem_width = n
         elif key[0] == "stage":
-            stage_widths[key[1]] = len(idx)
+            stage_widths[key[1]] = n
             if key[1] == 0 and spec.stem_tied_to_stage0:
-                stem_width = len(idx)
+                stem_width = n
         else:  # inner
             _, s, b, i = key
-            inner[s][b][i] = len(idx)
-
-    new_spec = spec.with_widths(
+            inner[s][b][i] = n
+    return spec.with_widths(
         stage_widths=tuple(stage_widths), inner_widths=inner, stem_width=stem_width
     )
-    return new_spec, params, state
 
 
 def taylor_grads(spec, params, state, batch, compute_dtype="float32"):
@@ -138,14 +166,14 @@ def taylor_grads(spec, params, state, batch, compute_dtype="float32"):
     import jax.numpy as jnp
 
     from ...data.pipeline import normalize_images
-    from ...models import resnet
+    from ...models.registry import apply_model
     from ...train.losses import cross_entropy
 
     imgs_u8, labels, mask = batch
 
     def loss_fn(p):
         x = normalize_images(jnp.asarray(imgs_u8))
-        logits, _ = resnet.apply(spec, p, state, x, train=False)
+        logits, _ = apply_model(spec, p, state, x, train=False)
         return cross_entropy(logits, jnp.asarray(labels), jnp.asarray(mask))
 
     return jax.grad(loss_fn)(params)
@@ -239,7 +267,7 @@ class StructuredPruningEngine:
             latency_ms,
             model_size_bytes,
         )
-        from ...models import resnet
+        from ...models.registry import apply_model
         from ...train.loop import evaluate
         from ...train.steps import make_eval_step
         from ...utils import device_materialize
@@ -255,7 +283,7 @@ class StructuredPruningEngine:
 
         spec = self.spec
         fwd = jax.jit(
-            lambda p, s, x: resnet.apply(spec, p, s, normalize_images(x), train=False)[0]
+            lambda p, s, x: apply_model(spec, p, s, normalize_images(x), train=False)[0]
         )
         h, w = self.cfg.image_size
         x1 = jnp.zeros((1, h, w, 3), jnp.uint8)

@@ -1,28 +1,34 @@
-"""Channel-dependency graph for structured pruning of ResNets.
+"""Channel-dependency graphs for structured pruning (ResNet + MobileNetV2).
 
 The reference delegates dependency tracking to ``torch_pruning``'s dependency
 graph traced from example inputs (`pruning/pruning_engine_structured.py:50-70`).
 Here the graph is derived *statically from the width descriptor*: every
-prunable width in ``ResNetSpec`` corresponds to one coupled group of
-parameter slices —
+prunable width corresponds to one coupled group of parameter slices —
 
 * producers: conv kernels whose OUTPUT channel dim carries the width
   (HWIO axis 3) + the BN that normalizes it (all vectors, axis 0),
 * consumers: conv kernels whose INPUT channel dim carries it (HWIO axis 2),
-  and the classifier kernel's input rows for the final stage.
+  and the classifier kernel's input rows for the final group,
+* depthwise kernels (MobileNetV2) are a special edge: their HWIO shape is
+  ``(k, k, 1, C)`` with input channels == output channels == C, so they are
+  listed as PRODUCERS (axis 3) of whatever group carries their channels —
+  the group of the preceding expand conv, or the block's *input* group for
+  t=1 blocks.
 
-Residual adds force stage-wide coupling: every block output in a stage, its
-downsample branch, and (for BasicBlock nets) the stem share one group —
-pruning a channel removes it from all of them simultaneously, exactly the
-coupling torch_pruning discovers dynamically.
+Residual adds force stage-wide coupling: every block output in a stage (plus
+the downsample branch / the stem where tied) shares one group — pruning a
+channel removes it from all of them simultaneously, exactly the coupling
+torch_pruning discovers dynamically.
 
-Paths are key tuples into the params/state pytrees of models.resnet.
+Paths are key tuples into the params/state pytrees of the family's model
+module (models.resnet / models.mobilenet).
 """
 
 from __future__ import annotations
 
 from typing import Dict, List, Tuple
 
+from ...models.mobilenet import MobileNetV2Spec
 from ...models.widths import ResNetSpec
 
 Path = Tuple[str, ...]
@@ -35,11 +41,12 @@ def _last_conv(spec: ResNetSpec) -> str:
     return "conv2" if spec.block == "basic" else "conv3"
 
 
-def group_slices(spec: ResNetSpec) -> List[Dict]:
-    """Enumerate coupled groups with their parameter slices.
+def group_slices(spec) -> List[Dict]:
+    """Enumerate coupled groups with their parameter slices (any family).
 
     Each group dict:
-      key:        ("stem",) | ("stage", s) | ("inner", s, b, i)
+      key:        family-specific tuple, e.g. ("stem",) | ("stage", s) |
+                  ("inner", s, b, i) | ("hidden", s, b) | ("last",)
       width:      current channel count
       producers:  [(conv_w_path, OUT_AXIS), ...]
       bns:        [bn_path_prefix, ...]   (slice scale/bias/mean/var, axis 0)
@@ -49,6 +56,106 @@ def group_slices(spec: ResNetSpec) -> List[Dict]:
                   classifier head is simply not part of any group — head
                   protection as in reference `pruning_engine_structured.py:35-43`)
     """
+    if isinstance(spec, MobileNetV2Spec):
+        return group_slices_mbv2(spec)
+    return group_slices_resnet(spec)
+
+
+def group_slices_mbv2(spec: MobileNetV2Spec) -> List[Dict]:
+    """Coupled groups of a MobileNetV2.
+
+    * one group per stage (residual adds couple every block's project output
+      with the next blocks' inputs),
+    * the stem is its own group (consumed by stage-0 block 0),
+    * one FREE group per expanded block: expand-out + depthwise + project-in,
+    * t=1 blocks have no free hidden group — their depthwise kernel and BN
+      ride the block's INPUT group (the new dw edge type),
+    * the final 1×1 'last' conv is its own group feeding the classifier.
+    """
+    groups: List[Dict] = []
+
+    def block_paths(s: int, b: int):
+        return (f"stage{s}", str(b))
+
+    def attach_consumer(group: Dict, s: int, b: int) -> None:
+        """Wire group → block (s, b) whose INPUT carries the group's width."""
+        base = block_paths(s, b)
+        if spec.has_expand[s][b]:
+            group["consumers"].append((base + ("expand", "w"), IN_AXIS))
+        else:
+            # t=1: the depthwise conv operates directly on the group's
+            # channels — its kernel/BN carry them (sliced on OUT_AXIS; the
+            # HWIO input axis has size 1) and the project conv consumes them
+            group["producers"].append((base + ("dw", "w"), OUT_AXIS))
+            group["bns"].append(base + ("dw_bn",))
+            group["consumers"].append((base + ("project", "w"), IN_AXIS))
+
+    # --- stem ---------------------------------------------------------------
+    stem_group = {
+        "key": ("stem",),
+        "width": spec.stem_width,
+        "producers": [(("stem", "w"), OUT_AXIS)],
+        "bns": [("stem_bn",)],
+        "consumers": [],
+        "fc_in": False,
+    }
+    attach_consumer(stem_group, 0, 0)
+    groups.append(stem_group)
+
+    # --- one residual group per stage ----------------------------------------
+    for s, depth in enumerate(spec.depths):
+        g = {
+            "key": ("stage", s),
+            "width": spec.stage_widths[s],
+            "producers": [],
+            "bns": [],
+            "consumers": [],
+            "fc_in": False,
+        }
+        for b in range(depth):
+            base = block_paths(s, b)
+            g["producers"].append((base + ("project", "w"), OUT_AXIS))
+            g["bns"].append(base + ("project_bn",))
+            if b >= 1:
+                attach_consumer(g, s, b)
+        if s + 1 < len(spec.depths):
+            attach_consumer(g, s + 1, 0)
+        else:
+            g["consumers"].append((("last", "w"), IN_AXIS))
+        groups.append(g)
+
+    # --- free hidden groups (expanded blocks only) ---------------------------
+    for s, depth in enumerate(spec.depths):
+        for b in range(depth):
+            if not spec.has_expand[s][b]:
+                continue
+            base = block_paths(s, b)
+            groups.append({
+                "key": ("hidden", s, b),
+                "width": spec.hidden_widths[s][b],
+                "producers": [
+                    (base + ("expand", "w"), OUT_AXIS),
+                    (base + ("dw", "w"), OUT_AXIS),
+                ],
+                "bns": [base + ("expand_bn",), base + ("dw_bn",)],
+                "consumers": [(base + ("project", "w"), IN_AXIS)],
+                "fc_in": False,
+            })
+
+    # --- last 1×1 conv → classifier ------------------------------------------
+    groups.append({
+        "key": ("last",),
+        "width": spec.last_width,
+        "producers": [(("last", "w"), OUT_AXIS)],
+        "bns": [("last_bn",)],
+        "consumers": [],
+        "fc_in": True,
+    })
+    return groups
+
+
+def group_slices_resnet(spec: ResNetSpec) -> List[Dict]:
+    """Coupled groups of a ResNet (see group_slices for the dict contract)."""
     groups: List[Dict] = []
     lc = _last_conv(spec)
 

@@ -82,3 +82,81 @@ def test_train_step_runs():
     )
     p, s, o, m = step(params, state, adamw_init(params), batch)
     assert np.isfinite(float(m["loss"]))
+
+
+# ----------------------------------------------------------------------------
+# structured pruning with the depthwise edge type
+# ----------------------------------------------------------------------------
+
+
+def _forward(spec, params, state, x):
+    return np.asarray(
+        mobilenet.apply(spec, params, state, jnp.asarray(x), train=False)[0]
+    )
+
+
+def test_zeroed_channel_prune_is_exact_mbv2():
+    """Zero channels (producers incl. depthwise kernels + BN affine), prune
+    exactly those, require near-identical logits from the smaller model."""
+    from inference_efficient_vision_models_tpu.compress.prune.engine import (
+        apply_pruning,
+    )
+    from inference_efficient_vision_models_tpu.compress.prune.graph import (
+        get_path,
+        group_slices,
+        set_path,
+    )
+
+    spec, params, state = create_model("mobilenet_v2", num_classes=6)
+    params = jax.device_get(params)
+    state = jax.device_get(state)
+    rng = np.random.default_rng(0)
+
+    keep = {}
+    for g in group_slices(spec):
+        w = g["width"]
+        kill = rng.choice(w, size=max(w // 4, 1), replace=False)
+        keep[tuple(g["key"])] = np.setdiff1d(np.arange(w), kill)
+        for path, axis in g["producers"]:
+            arr = np.asarray(get_path(params, path)).copy()
+            sl = [slice(None)] * arr.ndim
+            sl[axis] = kill
+            arr[tuple(sl)] = 0.0
+            set_path(params, path, arr)
+        for bn_path in g["bns"]:
+            bn = get_path(params, bn_path)
+            for k in ("scale", "bias"):
+                v = np.asarray(bn[k]).copy()
+                v[kill] = 0.0
+                bn[k] = v
+
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    ref = _forward(spec, params, state, x)
+
+    new_spec, new_params, new_state = apply_pruning(spec, params, state, keep)
+    got = _forward(new_spec, new_params, new_state, x)
+
+    assert new_spec.stage_widths != spec.stage_widths
+    assert new_spec.hidden_widths != spec.hidden_widths
+    # t=1 invariant held through pruning
+    assert new_spec.hidden_widths[0][0] == new_spec.stem_width
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_prune_model_shrinks_and_runs_mbv2():
+    from inference_efficient_vision_models_tpu.compress.prune import prune_model
+
+    spec, params, state = create_model("mobilenet_v2", num_classes=6)
+    n0 = mobilenet.param_count(params)
+    new_spec, p2, s2 = prune_model(
+        spec, params, state, ratio=0.2, method="l2", round_to=8
+    )
+    assert mobilenet.param_count(p2) < n0 * 0.85
+    for w in new_spec.stage_widths + (new_spec.stem_width, new_spec.last_width):
+        assert w % 8 == 0
+    for s, row in enumerate(new_spec.hidden_widths):
+        for b, w in enumerate(row):
+            if new_spec.has_expand[s][b]:
+                assert w % 8 == 0
+    logits = _forward(new_spec, p2, s2, np.zeros((1, 32, 32, 3), np.float32))
+    assert logits.shape == (1, 6)
