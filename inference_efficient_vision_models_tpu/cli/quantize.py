@@ -38,11 +38,13 @@ def _save_qmodel(fold_dir: str, method: str, model, spec=None) -> str:
 
     import jax
 
-    from ..compress.quant import qresnet
+    from ..compress.quant import quant_module
 
     path = os.path.join(fold_dir, f"model_{method}.msgpack")
     with open(path, "wb") as f:
-        f.write(serialization.to_bytes(qresnet.serializable(jax.device_get(model))))
+        f.write(
+            serialization.to_bytes(quant_module(spec).serializable(jax.device_get(model)))
+        )
     if spec is not None:
         with open(os.path.join(fold_dir, "spec.json"), "w") as f:
             json.dump(spec.to_dict(), f, indent=2)
@@ -53,7 +55,7 @@ def run_test(cfg, logger, data):
     """choice=2: reload saved quantized artifacts and re-evaluate (the
     checkpoint round-trip check every other stage has; the reference's
     quantization choice field was unused, `q_config.py:57`)."""
-    from ..compress.quant import qresnet as _q
+    from ..compress.quant import quant_module
     from ..compress.quant.engine import evaluate_accuracy_fn
     from ..metrics.profile import model_size_bytes
     from ..serving import load_quantized
@@ -69,7 +71,7 @@ def run_test(cfg, logger, data):
                 continue
             spec, model, fn, pre = load_quantized(fold_dir, method)
             acc = evaluate_accuracy_fn(cfg, fn, data["test"], host_preprocess=pre)
-            size_mb = model_size_bytes(_q.serializable(model)) / 1e6
+            size_mb = model_size_bytes(quant_module(spec).serializable(model)) / 1e6
             rows.append({
                 "fold": fold, "method": method,
                 "Accuracy": acc * 100.0, "Size (MB)": size_mb,
@@ -118,19 +120,18 @@ def run_quantize(cfg, logger, data, split):
                     import functools
                     import jax
 
-                    from ..compress.quant import qresnet
                     from ..data.pipeline import normalize_images
                     from ..utils import device_materialize
 
-                    spec_ = spec
+                    spec_, qmod = spec, engine.q
                     jfn = jax.jit(
-                        lambda m, x_u8: qresnet.apply_folded(
+                        lambda m, x_u8: qmod.apply_folded(
                             spec_, m, normalize_images(x_u8)
                         )
                     )
                     model = device_materialize(model)
                     fn = functools.partial(jfn, model)
-                pre = engine.s2d_preprocess if method == "static_int8" else None
+                pre = engine.static_preprocess(method)
                 acc = engine.evaluate_accuracy(fn, test_d, host_preprocess=pre)
                 size_mb = engine.size_mb(model)
                 lat = engine.measure_latency(fn, batch_size=1, host_preprocess=pre)

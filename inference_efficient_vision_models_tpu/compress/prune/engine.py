@@ -180,7 +180,7 @@ def taylor_grads(spec, params, state, batch, compute_dtype="float32"):
 
 
 def prune_model(
-    spec: ResNetSpec,
+    spec,
     params,
     state,
     *,
@@ -192,7 +192,20 @@ def prune_model(
     grads=None,
     keep: Optional[Dict[GroupKey, np.ndarray]] = None,
 ) -> Tuple[ResNetSpec, dict, dict]:
-    """One-shot structured pruning (the reference's single `pruner.step()`)."""
+    """One-shot structured pruning (the reference's single `pruner.step()`).
+
+    Dispatches per family: CNNs (ResNet/MobileNetV2) prune channel groups
+    through the dependency graph; ViTs prune MLP channels + whole attention
+    heads (see vit_engine)."""
+    from ...models.vit import ViTSpec
+
+    if isinstance(spec, ViTSpec):
+        from .vit_engine import prune_vit
+
+        return prune_vit(
+            spec, params, state, ratio=ratio, method=method,
+            round_to=round_to, seed=seed, keep=keep,
+        )
     if keep is None:
         keep = select_channels(
             spec,

@@ -32,9 +32,25 @@ from ...data.pipeline import Batches, normalize_images
 from ...metrics.profile import latency_ms, model_size_bytes, throughput_ips
 from ...models.widths import ResNetSpec
 from ...utils import device_materialize
-from .fold import fold_conv_bn
 from .observers import quantize_weight_per_channel
-from . import qresnet
+from . import qmobilenet, qresnet
+
+
+def quant_module(spec):
+    """Family module for a spec — the quantization analog of
+    models.registry.model_module. Each family module exposes the same API:
+    fold / apply_folded / calibrate / convert_static_int8 / apply_int8 /
+    serializable / restore_derived."""
+    from ...models.mobilenet import MobileNetV2Spec
+    from ...models.vit import ViTSpec
+
+    if isinstance(spec, MobileNetV2Spec):
+        return qmobilenet
+    if isinstance(spec, ViTSpec):
+        from . import qvit
+
+        return qvit
+    return qresnet
 
 
 def _dynamic_fc(feats, fcq):
@@ -77,13 +93,14 @@ def evaluate_accuracy_fn(cfg, apply_fn, test_d, host_preprocess=None) -> float:
 class QuantizationEngine:
     """Quantize a (possibly pruned) model given its spec + params + state."""
 
-    def __init__(self, cfg, spec: ResNetSpec, params, state, logger):
+    def __init__(self, cfg, spec, params, state, logger):
         self.cfg = cfg
         self.spec = spec
         self.params = params
         self.state = state
         self.logger = logger
-        self.folded = fold_conv_bn(spec, params, state)
+        self.q = quant_module(spec)
+        self.folded = self.q.fold(spec, params, state)
 
     # -- conversions -------------------------------------------------------
     # Every conversion returns (model, apply_fn) with apply_fn taking RAW
@@ -93,23 +110,37 @@ class QuantizationEngine:
     def static_quantize(self, calib_data: Tuple[np.ndarray, np.ndarray]):
         """Calibrate on ≤cfg.calibration_images then convert to int8."""
         loader = Batches(calib_data[0], calib_data[1], self.cfg.batch_size)
-        observers = qresnet.calibrate(
+        observers = self.q.calibrate(
             self.spec,
             self.folded,
             loader,
             max_images=self.cfg.calibration_images,
         )
-        qmodel = qresnet.convert_static_int8(
+        qmodel = self.q.convert_static_int8(
             self.spec, self.folded, observers,
             image_size=tuple(self.cfg.image_size),
         )
         qmodel = device_materialize(qmodel)
-        spec = self.spec
-        fn = jax.jit(lambda q, x: qresnet.apply_int8(spec, q, x))
+        spec, qmod = self.spec, self.q
+        fn = jax.jit(lambda q, x: qmod.apply_int8(spec, q, x))
         return qmodel, functools.partial(fn, qmodel)
 
     def dynamic_quantize(self):
-        """int8 fc only; convs run folded fp32 (reference dynamic scope)."""
+        """Dynamic int8 — per family. CNNs: int8 fc only, convs stay folded
+        fp32 (torch `quantize_dynamic({nn.Linear})` scope,
+        `quantization/main.py:247-251`). ViTs: EVERY dense layer
+        (qkv/proj/mlp/head) int8 with on-the-fly activation scales."""
+        from ...models.vit import ViTSpec
+
+        if isinstance(self.spec, ViTSpec):
+            from . import qvit
+
+            model = device_materialize(qvit.convert_dynamic_int8(self.spec, self.folded))
+            spec = self.spec
+            fn = jax.jit(
+                lambda m, x_u8: qvit.apply_dynamic_int8(spec, m, normalize_images(x_u8))
+            )
+            return model, functools.partial(fn, model)
         w_q, w_scale = quantize_weight_per_channel(
             np.asarray(self.folded["fc"]["w"]), channel_axis=1
         )
@@ -121,10 +152,10 @@ class QuantizationEngine:
             "bias": np.asarray(self.folded["fc"]["b"], np.float32),
         }
         model = device_materialize(model)
-        spec = self.spec
+        spec, qmod = self.spec, self.q
 
         def fwd(m, x_u8):
-            feats = qresnet.apply_folded(
+            feats = qmod.apply_folded(
                 spec, m, normalize_images(x_u8), return_features=True
             )
             return _dynamic_fc(feats, m["fc_q"])
@@ -141,9 +172,9 @@ class QuantizationEngine:
             self.folded,
         )
         model = device_materialize(model)
-        spec = self.spec
+        spec, qmod = self.spec, self.q
         fn = jax.jit(
-            lambda m, x_u8: qresnet.apply_folded(
+            lambda m, x_u8: qmod.apply_folded(
                 spec, m, normalize_images(x_u8, dtype)
             ).astype(jnp.float32)
         )
@@ -158,6 +189,14 @@ class QuantizationEngine:
     # the data pipeline, like decode.
 
     s2d_preprocess = staticmethod(s2d_preprocess)
+
+    def static_preprocess(self, method: str):
+        """Host-side layout transform for a method (None when not needed).
+        Only the ResNet static-int8 stem consumes the space-to-depth layout;
+        MobileNetV2's 3×3 stem takes raw u8 directly."""
+        if method == "static_int8" and isinstance(self.spec, ResNetSpec):
+            return s2d_preprocess
+        return None
 
     def evaluate_accuracy(self, apply_fn, test_d, host_preprocess=None) -> float:
         return evaluate_accuracy_fn(self.cfg, apply_fn, test_d, host_preprocess)
@@ -178,4 +217,4 @@ class QuantizationEngine:
     def size_mb(self, model) -> float:
         # derived tensors (stem offset maps) are regenerable, not checkpoint
         # payload — measure the serializable view
-        return model_size_bytes(qresnet.serializable(model)) / 1e6
+        return model_size_bytes(self.q.serializable(model)) / 1e6

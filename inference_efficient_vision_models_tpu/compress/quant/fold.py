@@ -57,3 +57,33 @@ def fold_conv_bn(spec: ResNetSpec, params, state) -> Dict:
         "b": np.asarray(params["fc"]["b"], np.float32),
     }
     return out
+
+
+def fold_mbv2(spec, params, state) -> Dict:
+    """MobileNetV2 conv–BN fold (same math; depthwise kernels fold on their
+    HWIO output axis exactly like regular convs). Layout mirrors the params
+    pytree: stem / stage{s}/{b}/{expand?,dw,project} / last / fc."""
+    out: Dict = {}
+    out["stem"] = dict(zip("wb", _fold_one(params["stem"]["w"], params["stem_bn"], state["stem_bn"])))
+    for s, depth in enumerate(spec.depths):
+        sname = f"stage{s}"
+        out[sname] = {}
+        for b in range(depth):
+            bp = params[sname][str(b)]
+            bs = state[sname][str(b)]
+            blk: Dict = {}
+            if spec.has_expand[s][b]:
+                blk["expand"] = dict(
+                    zip("wb", _fold_one(bp["expand"]["w"], bp["expand_bn"], bs["expand_bn"]))
+                )
+            blk["dw"] = dict(zip("wb", _fold_one(bp["dw"]["w"], bp["dw_bn"], bs["dw_bn"])))
+            blk["project"] = dict(
+                zip("wb", _fold_one(bp["project"]["w"], bp["project_bn"], bs["project_bn"]))
+            )
+            out[sname][str(b)] = blk
+    out["last"] = dict(zip("wb", _fold_one(params["last"]["w"], params["last_bn"], state["last_bn"])))
+    out["fc"] = {
+        "w": np.asarray(params["fc"]["w"], np.float32),
+        "b": np.asarray(params["fc"]["b"], np.float32),
+    }
+    return out

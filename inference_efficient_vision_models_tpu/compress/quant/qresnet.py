@@ -31,6 +31,7 @@ import numpy as np
 from jax import lax
 
 from ...models.widths import ResNetSpec
+from .fold import fold_conv_bn as fold  # family-module API (see engine)
 from .observers import (
     ObserverState,
     dequantize_affine_shifted,

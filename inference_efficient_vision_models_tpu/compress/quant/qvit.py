@@ -1,12 +1,23 @@
-"""Dynamic-INT8 ViT: every dense layer int8 on the MXU.
+"""Quantized ViT: dynamic AND static INT8 — every dense layer on the MXU.
 
 Goes beyond the reference (which quantizes only CNNs, while naming ViT
 backbones in its configs — `kd_config.py:13-14`): a ViT's weight mass sits in
 dense layers (qkv / proj / mlp / head), exactly the scope of torch's
 ``quantize_dynamic({nn.Linear})``. Weights are per-output-channel symmetric
-int8; activations are quantized per tensor on the fly (dynamic), matmuls run
-int8×int8→int32 on the MXU; LayerNorm / softmax / GELU / patch-embed stay
-floating point.
+int8; matmuls run int8×int8→int32 on the MXU; LayerNorm / softmax / GELU
+stay floating point.
+
+Two activation modes:
+* **dynamic** — per-batch min/max activation scale computed on the fly
+  (torch `quantize_dynamic` semantics),
+* **static** — calibrated EMA observers fix each dense layer's input qparams
+  at convert time (the stage-4 static path); additionally the ImageNet
+  normalization folds into an int8 patch-embed conv so the device consumes
+  RAW uint8 pixels (see stemfold — same trick as the CNN stems).
+
+Exposes the family-module API the QuantizationEngine dispatches on:
+fold / apply_folded / calibrate / convert_static_int8 / apply_int8 /
+serializable / restore_derived.
 """
 
 from __future__ import annotations
@@ -18,8 +29,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ...models import vit as vit_mod
 from ...models.vit import LN_EPS, ViTSpec, _layer_norm
-from .observers import quantize_weight_per_channel
+from . import stemfold
+from .observers import (
+    ObserverState,
+    minmax_qparams_affine,
+    quantize_affine_shifted,
+    quantize_weight_per_channel,
+)
 
 _DENSE = ("qkv", "proj", "mlp1", "mlp2")
 
@@ -83,20 +101,238 @@ def apply_dynamic_int8(spec: ViTSpec, q, x):
     cls = jnp.broadcast_to(jnp.asarray(q["cls_token"]), (b, 1, spec.dim))
     h = jnp.concatenate([cls, tokens], axis=1) + jnp.asarray(q["pos_embed"])
 
-    hd = spec.dim // spec.heads
+    hd = spec.head_dim
     for i in range(spec.depth):
         blk = q["blocks"][str(i)]
+        heads = blk["qkv"]["w_q"].shape[1] // (3 * hd)  # head-pruned blocks ok
         z = _layer_norm(h, blk["ln1"])
-        qkv = _dyn_dense(z, blk["qkv"]).reshape(b, -1, 3, spec.heads, hd)
+        qkv = _dyn_dense(z, blk["qkv"]).reshape(b, -1, 3, heads, hd)
         qh, kh, vh = (qkv[:, :, j].transpose(0, 2, 1, 3) for j in range(3))
         att = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * (hd**-0.5)
         att = jax.nn.softmax(att, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", att, vh)
-        out = out.transpose(0, 2, 1, 3).reshape(b, -1, spec.dim)
+        out = out.transpose(0, 2, 1, 3).reshape(b, -1, heads * hd)
         h = h + _dyn_dense(out, blk["proj"])
         z = _layer_norm(h, blk["ln2"])
-        z = jax.nn.gelu(_dyn_dense(z, blk["mlp1"]))
+        z = jax.nn.gelu(_dyn_dense(z, blk["mlp1"]), approximate=False)
         h = h + _dyn_dense(z, blk["mlp2"])
 
     h = _layer_norm(h, q["norm"])
     return _dyn_dense(h[:, 0], q["head"])
+
+
+# --------------------------------------------------------------------------
+# family-module API (engine dispatch)
+# --------------------------------------------------------------------------
+
+
+def fold(spec: ViTSpec, params, state) -> Dict:
+    """ViTs have no BatchNorm — the 'folded' model is the fp32 param pytree."""
+    return jax.tree.map(lambda a: np.asarray(a, np.float32), jax.device_get(params))
+
+
+def apply_folded(
+    spec: ViTSpec, folded, x, *, with_taps: bool = False,
+    return_features: bool = False,
+):
+    """fp32/half forward (compute dtype = x.dtype); optionally returns the
+    activation taps at every dense-layer INPUT (static-int8 observers)."""
+    dtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float16) else jnp.float32
+    if not with_taps:
+        out, _ = vit_mod.apply(
+            spec, folded, {}, x, train=False, compute_dtype=dtype,
+            return_features=return_features,
+        )
+        return out
+
+    taps: Dict[str, jax.Array] = {"input": x}
+    pe = lax.conv_general_dilated(
+        x.astype(jnp.float32), jnp.asarray(folded["patch_embed"]["w"]),
+        (spec.patch, spec.patch), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + jnp.asarray(folded["patch_embed"]["b"])
+    b = pe.shape[0]
+    tokens = pe.reshape(b, -1, spec.dim)
+    cls = jnp.broadcast_to(jnp.asarray(folded["cls_token"]), (b, 1, spec.dim))
+    h = jnp.concatenate([cls, tokens], axis=1) + jnp.asarray(folded["pos_embed"])
+
+    hd = spec.head_dim
+    for i in range(spec.depth):
+        blk = folded["blocks"][str(i)]
+        heads = blk["qkv"]["w"].shape[1] // (3 * hd)
+        z = _layer_norm(h, blk["ln1"])
+        taps[f"b{i}qkv"] = z
+        qkv = (z @ jnp.asarray(blk["qkv"]["w"])) + jnp.asarray(blk["qkv"]["b"])
+        qkv = qkv.reshape(b, -1, 3, heads, hd)
+        qh, kh, vh = (qkv[:, :, j].transpose(0, 2, 1, 3) for j in range(3))
+        att = jax.nn.softmax(jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * hd**-0.5, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", att, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(b, -1, heads * hd)
+        taps[f"b{i}proj"] = out
+        h = h + (out @ jnp.asarray(blk["proj"]["w"])) + jnp.asarray(blk["proj"]["b"])
+        z = _layer_norm(h, blk["ln2"])
+        taps[f"b{i}mlp1"] = z
+        z = jax.nn.gelu(
+            (z @ jnp.asarray(blk["mlp1"]["w"])) + jnp.asarray(blk["mlp1"]["b"]),
+            approximate=False,
+        )
+        taps[f"b{i}mlp2"] = z
+        h = h + (z @ jnp.asarray(blk["mlp2"]["w"])) + jnp.asarray(blk["mlp2"]["b"])
+
+    h = _layer_norm(h, folded["norm"])
+    feats = h[:, 0]
+    taps["head"] = feats
+    logits = (feats @ jnp.asarray(folded["head"]["w"])) + jnp.asarray(folded["head"]["b"])
+    return logits, taps
+
+
+def calibrate(
+    spec: ViTSpec, folded, batches, *, max_images: int = 256,
+    averaging_constant=0.01,
+) -> Dict[str, ObserverState]:
+    """EMA min/max per dense-layer input over ≤max_images
+    (reference calibration budget, `quantization/main.py:157`)."""
+    from ...data.pipeline import normalize_images
+
+    tap_minmax = jax.jit(
+        lambda f, x: jax.tree.map(
+            lambda t: (jnp.min(t.astype(jnp.float32)), jnp.max(t.astype(jnp.float32))),
+            apply_folded(spec, f, x, with_taps=True)[1],
+        )
+    )
+    observers: Dict[str, ObserverState] = {}
+    seen = 0
+    for batch in batches:
+        imgs = batch[0] if isinstance(batch, tuple) else batch
+        x = normalize_images(jnp.asarray(imgs))
+        mm = jax.device_get(tap_minmax(folded, x))
+        for name, (lo, hi) in mm.items():
+            observers.setdefault(name, ObserverState.fresh())
+            observers[name] = observers[name].update(lo, hi, averaging_constant)
+        seen += int(imgs.shape[0])
+        if seen >= max_images:
+            break
+    return observers
+
+
+def _static_dense_params(d, obs_in) -> Dict:
+    w = np.asarray(d["w"], np.float32)
+    w_q, w_scale = quantize_weight_per_channel(w, channel_axis=1)
+    scale, zp = minmax_qparams_affine(obs_in.min, obs_in.max)
+    return {
+        "w_q": w_q,
+        "w_scale": w_scale,
+        "w_sum": w_q.astype(np.int32).sum(axis=0),
+        "b": np.asarray(d["b"], np.float32),
+        "in_scale": np.float32(scale),
+        "in_zp": np.int32(zp),
+    }
+
+
+def convert_static_int8(
+    spec: ViTSpec, folded, observers, *, fold_input: bool = True,
+    image_size=(224, 224),
+) -> Dict:
+    """fp32 ViT + calibrated observers → static-int8 pytree: every dense
+    layer carries fixed input qparams; the patch embed becomes a u8 int8
+    conv with folded normalization."""
+    q: Dict = {
+        "cls_token": np.asarray(folded["cls_token"], np.float32),
+        "pos_embed": np.asarray(folded["pos_embed"], np.float32),
+        "norm": jax.tree.map(lambda a: np.asarray(a, np.float32), folded["norm"]),
+        "head": _static_dense_params(folded["head"], observers["head"]),
+        "blocks": {},
+    }
+    s_in, zp_in = minmax_qparams_affine(observers["input"].min, observers["input"].max)
+    q["input"] = {"scale": np.float32(s_in), "zp": np.int32(zp_in)}
+    if fold_input:
+        q["patch_embed"] = stemfold.make_u8_stem(
+            folded["patch_embed"]["w"], folded["patch_embed"]["b"],
+            ObserverState(0.0, 0.0, True),  # output stays fp32 — no requant
+            stride=spec.patch, padding=0, image_size=image_size,
+        )
+    else:
+        q["patch_embed"] = jax.tree.map(
+            lambda a: np.asarray(a, np.float32), folded["patch_embed"]
+        )
+    for i in range(spec.depth):
+        blk = folded["blocks"][str(i)]
+        q["blocks"][str(i)] = {
+            "ln1": jax.tree.map(lambda a: np.asarray(a, np.float32), blk["ln1"]),
+            "ln2": jax.tree.map(lambda a: np.asarray(a, np.float32), blk["ln2"]),
+            "qkv": _static_dense_params(blk["qkv"], observers[f"b{i}qkv"]),
+            "proj": _static_dense_params(blk["proj"], observers[f"b{i}proj"]),
+            "mlp1": _static_dense_params(blk["mlp1"], observers[f"b{i}mlp1"]),
+            "mlp2": _static_dense_params(blk["mlp2"], observers[f"b{i}mlp2"]),
+        }
+    return q
+
+
+def serializable(qmodel: Dict) -> Dict:
+    """The patch embed's E is a per-channel vector (VALID padding) — tiny,
+    serialized as-is. Only a padded-stem offset MAP (w_fp present) would be
+    derived; ViT patch embeds never have one."""
+    pe = qmodel.get("patch_embed", {})
+    if "w_fp" in pe and "e" in pe:
+        pe = {k: v for k, v in pe.items() if k not in stemfold.DERIVED_KEYS}
+        return {**qmodel, "patch_embed": pe}
+    return qmodel
+
+
+def restore_derived(qmodel: Dict) -> Dict:
+    pe = qmodel.get("patch_embed", {})
+    if "w_fp" in pe and "e" not in pe:
+        return {**qmodel, "patch_embed": stemfold.restore_offsets(pe)}
+    return qmodel
+
+
+def _static_dense(x, qd):
+    """(…, K) fp32 → (…, N) fp32 through a CALIBRATED int8 matmul."""
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    x_s = quantize_affine_shifted(x2, qd["in_scale"], qd["in_zp"])
+    acc = lax.dot_general(
+        x_s, qd["w_q"], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    acc = acc - (qd["in_zp"] - 128) * qd["w_sum"]
+    y = acc.astype(jnp.float32) * (qd["in_scale"] * qd["w_scale"]) + qd["b"]
+    return y.reshape(*shape[:-1], -1)
+
+
+def apply_int8(spec: ViTSpec, q, x):
+    """Static-INT8 ViT forward → logits.
+
+    With a fold_input model (patch_embed carries "e"), ``x`` is RAW uint8
+    NHWC; otherwise normalized fp32. Every dense layer (qkv/proj/mlp/head
+    and the patch embed) runs int8 on the MXU with calibrated qparams."""
+    pe = q["patch_embed"]
+    if "e" in pe:
+        t = stemfold.apply_u8_stem(pe, x, stride=int(spec.patch), pad=0, act="none")
+    else:
+        t = lax.conv_general_dilated(
+            x.astype(jnp.float32), jnp.asarray(pe["w"]),
+            (spec.patch, spec.patch), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.asarray(pe["b"])
+    b = t.shape[0]
+    tokens = t.reshape(b, -1, spec.dim)
+    cls = jnp.broadcast_to(jnp.asarray(q["cls_token"]), (b, 1, spec.dim))
+    h = jnp.concatenate([cls, tokens], axis=1) + jnp.asarray(q["pos_embed"])
+
+    hd = spec.head_dim
+    for i in range(spec.depth):
+        blk = q["blocks"][str(i)]
+        heads = blk["qkv"]["w_q"].shape[1] // (3 * hd)
+        z = _layer_norm(h, blk["ln1"])
+        qkv = _static_dense(z, blk["qkv"]).reshape(b, -1, 3, heads, hd)
+        qh, kh, vh = (qkv[:, :, j].transpose(0, 2, 1, 3) for j in range(3))
+        att = jax.nn.softmax(jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * hd**-0.5, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", att, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(b, -1, heads * hd)
+        h = h + _static_dense(out, blk["proj"])
+        z = _layer_norm(h, blk["ln2"])
+        z = jax.nn.gelu(_static_dense(z, blk["mlp1"]), approximate=False)
+        h = h + _static_dense(z, blk["mlp2"])
+
+    h = _layer_norm(h, q["norm"])
+    return _static_dense(h[:, 0], q["head"])

@@ -120,6 +120,48 @@ def from_torch_state_dict_mbv2(spec, sd: Dict[str, Any]) -> Tuple[Dict, Dict]:
     return params, state
 
 
+def from_torch_state_dict_vit(spec, sd: Dict[str, Any]) -> Tuple[Dict, Dict]:
+    """timm-style ViT state_dict → our (params, state).
+
+    Naming contract (timm `vision_transformer`): ``patch_embed.proj``,
+    ``cls_token``, ``pos_embed``, ``blocks.i.{norm1,attn.qkv,attn.proj,
+    norm2,mlp.fc1,mlp.fc2}``, ``norm``, ``head``.
+    """
+    sd = _strip(sd)
+
+    def ln(prefix):
+        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+    def lin(prefix):
+        return {
+            "w": np.transpose(sd[f"{prefix}.weight"], (1, 0)).copy(),
+            "b": sd[f"{prefix}.bias"],
+        }
+
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            "w": _conv(sd["patch_embed.proj.weight"]),
+            "b": sd["patch_embed.proj.bias"],
+        },
+        "cls_token": sd["cls_token"],
+        "pos_embed": sd["pos_embed"],
+        "norm": ln("norm"),
+        "head": lin("head"),
+        "blocks": {},
+    }
+    for i in range(spec.depth):
+        pre = f"blocks.{i}"
+        params["blocks"][str(i)] = {
+            "ln1": ln(f"{pre}.norm1"),
+            "qkv": lin(f"{pre}.attn.qkv"),
+            "proj": lin(f"{pre}.attn.proj"),
+            "ln2": ln(f"{pre}.norm2"),
+            "mlp1": lin(f"{pre}.mlp.fc1"),
+            "mlp2": lin(f"{pre}.mlp.fc2"),
+        }
+    return params, {}
+
+
 def load_torch_checkpoint(spec: ResNetSpec, path: str) -> Tuple[Dict, Dict]:
     """Load a reference ``.pth`` checkpoint file (torch pickle) from disk."""
     import torch
@@ -128,9 +170,12 @@ def load_torch_checkpoint(spec: ResNetSpec, path: str) -> Tuple[Dict, Dict]:
     if hasattr(sd, "state_dict"):  # full pickled module (pruned artifact)
         sd = sd.state_dict()
     from .mobilenet import MobileNetV2Spec
+    from .vit import ViTSpec
 
     if isinstance(spec, MobileNetV2Spec):
         return from_torch_state_dict_mbv2(spec, sd)
+    if isinstance(spec, ViTSpec):
+        return from_torch_state_dict_vit(spec, sd)
     return from_torch_state_dict(spec, sd)
 
 

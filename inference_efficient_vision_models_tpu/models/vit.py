@@ -25,6 +25,11 @@ LN_EPS = 1e-6
 
 @dataclasses.dataclass(frozen=True)
 class ViTSpec:
+    """``heads``/``mlp_ratio`` describe the stock architecture; structured
+    pruning records per-block widths in ``head_counts``/``mlp_hidden``
+    (None = uniform stock). ``dim // heads`` stays the per-head dim — head
+    pruning removes whole heads, never splits one."""
+
     name: str
     patch: int
     dim: int
@@ -34,10 +39,31 @@ class ViTSpec:
     num_classes: int
     image_size: int = 224
     in_chans: int = 3
+    head_counts: Tuple[int, ...] | None = None
+    mlp_hidden: Tuple[int, ...] | None = None
 
     @property
     def tokens(self) -> int:
         return 1 + (self.image_size // self.patch) ** 2
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.heads
+
+    def block_heads(self, i: int) -> int:
+        return self.head_counts[i] if self.head_counts is not None else self.heads
+
+    def block_mlp_hidden(self, i: int) -> int:
+        if self.mlp_hidden is not None:
+            return self.mlp_hidden[i]
+        return int(self.dim * self.mlp_ratio)
+
+    def with_widths(self, head_counts=None, mlp_hidden=None) -> "ViTSpec":
+        return dataclasses.replace(
+            self,
+            head_counts=tuple(head_counts) if head_counts is not None else self.head_counts,
+            mlp_hidden=tuple(mlp_hidden) if mlp_hidden is not None else self.mlp_hidden,
+        )
 
     def to_dict(self) -> Dict:
         d = dataclasses.asdict(self)
@@ -47,6 +73,9 @@ class ViTSpec:
     @staticmethod
     def from_dict(d: Dict) -> "ViTSpec":
         d = {k: v for k, v in d.items() if k not in ("__kind__", "__extra__")}
+        for k in ("head_counts", "mlp_hidden"):
+            if d.get(k) is not None:
+                d[k] = tuple(int(v) for v in d[k])
         return ViTSpec(**d)
 
 
@@ -101,13 +130,15 @@ def init(key, spec: ViTSpec) -> Tuple[Dict, Dict]:
     }
     blocks = {}
     for i in range(spec.depth):
+        attn_dim = spec.block_heads(i) * spec.head_dim
+        hidden = spec.block_mlp_hidden(i)
         blocks[str(i)] = {
             "ln1": _ln_init(d),
-            "qkv": _linear_init(next(keys), d, 3 * d),
-            "proj": _linear_init(next(keys), d, d),
+            "qkv": _linear_init(next(keys), d, 3 * attn_dim),
+            "proj": _linear_init(next(keys), attn_dim, d),
             "ln2": _ln_init(d),
-            "mlp1": _linear_init(next(keys), d, int(d * spec.mlp_ratio)),
-            "mlp2": _linear_init(next(keys), int(d * spec.mlp_ratio), d),
+            "mlp1": _linear_init(next(keys), d, hidden),
+            "mlp2": _linear_init(next(keys), hidden, d),
         }
     params["blocks"] = blocks
     return params, {}  # no mutable state (no BN)
@@ -121,9 +152,11 @@ def _layer_norm(x, p):
     return y.astype(x.dtype)
 
 
-def _attention(x, p, heads: int, dtype):
+def _attention(x, p, hd: int, dtype):
+    """``hd`` is the per-head dim; the head COUNT comes from the qkv kernel's
+    shape so head-pruned blocks run unchanged."""
     b, t, d = x.shape
-    hd = d // heads
+    heads = p["qkv"]["w"].shape[1] // (3 * hd)
     qkv = (x @ p["qkv"]["w"].astype(dtype)) + p["qkv"]["b"].astype(dtype)
     q, k, v = jnp.split(qkv.reshape(b, t, 3, heads, hd), 3, axis=2)
     q = q.squeeze(2).transpose(0, 2, 1, 3)  # (b, h, t, hd)
@@ -132,7 +165,7 @@ def _attention(x, p, heads: int, dtype):
     att = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (hd**-0.5)
     att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
-    out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, heads * hd)
     return (out @ p["proj"]["w"].astype(dtype)) + p["proj"]["b"].astype(dtype)
 
 
@@ -163,9 +196,13 @@ def apply(
 
     for i in range(spec.depth):
         blk = params["blocks"][str(i)]
-        h = h + _attention(_layer_norm(h, blk["ln1"]), blk, spec.heads, dtype)
+        h = h + _attention(_layer_norm(h, blk["ln1"]), blk, spec.head_dim, dtype)
         m = _layer_norm(h, blk["ln2"])
-        m = jax.nn.gelu((m @ blk["mlp1"]["w"].astype(dtype)) + blk["mlp1"]["b"].astype(dtype))
+        # exact (erf) GELU — timm/torch nn.GELU semantics, for weight-import parity
+        m = jax.nn.gelu(
+            (m @ blk["mlp1"]["w"].astype(dtype)) + blk["mlp1"]["b"].astype(dtype),
+            approximate=False,
+        )
         m = (m @ blk["mlp2"]["w"].astype(dtype)) + blk["mlp2"]["b"].astype(dtype)
         h = h + m
 

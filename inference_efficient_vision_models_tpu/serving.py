@@ -38,25 +38,38 @@ def load_quantized(fold_dir: str, method: str):
 
     from flax import serialization
 
-    from .compress.quant import qresnet
+    from .compress.quant import quant_module
     from .compress.quant.engine import _dynamic_fc, s2d_preprocess
     from .data.pipeline import normalize_images
     from .models.registry import spec_from_dict
+    from .models.widths import ResNetSpec
     from .utils import device_materialize
 
     with open(os.path.join(fold_dir, "spec.json")) as f:
         spec = spec_from_dict(json.load(f))
+    qmod = quant_module(spec)
     with open(os.path.join(fold_dir, f"model_{method}.msgpack"), "rb") as f:
         model = serialization.msgpack_restore(f.read())
-    model = device_materialize(qresnet.restore_derived(model))
+    model = device_materialize(qmod.restore_derived(model))
 
     if "input" in model:  # static int8
-        fn = jax.jit(lambda q, x: qresnet.apply_int8(spec, q, x))
-        return spec, model, functools.partial(fn, model), s2d_preprocess
+        fn = jax.jit(lambda q, x: qmod.apply_int8(spec, q, x))
+        # only the ResNet 7×7 stem uses the space-to-depth host layout
+        pre = s2d_preprocess if isinstance(spec, ResNetSpec) else None
+        return spec, model, functools.partial(fn, model), pre
+    from .models.vit import ViTSpec
+
+    if isinstance(spec, ViTSpec) and "w_q" in model.get("head", {}):  # vit dynamic
+        from .compress.quant import qvit
+
+        fn = jax.jit(
+            lambda m, x_u8: qvit.apply_dynamic_int8(spec, m, normalize_images(x_u8))
+        )
+        return spec, model, functools.partial(fn, model), None
     if "fc_q" in model:  # dynamic int8
 
         def fwd(m, x_u8):
-            feats = qresnet.apply_folded(
+            feats = qmod.apply_folded(
                 spec, m, normalize_images(x_u8), return_features=True
             )
             return _dynamic_fc(feats, m["fc_q"])
@@ -64,7 +77,7 @@ def load_quantized(fold_dir: str, method: str):
         return spec, model, functools.partial(jax.jit(fwd), model), None
     dtype = jax.tree.leaves(model)[0].dtype  # folded cast (fp16/bf16/fp32)
     fn = jax.jit(
-        lambda m, x_u8: qresnet.apply_folded(
+        lambda m, x_u8: qmod.apply_folded(
             spec, m, normalize_images(x_u8, dtype)
         ).astype(jnp.float32)
     )

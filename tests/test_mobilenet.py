@@ -160,3 +160,119 @@ def test_prune_model_shrinks_and_runs_mbv2():
                 assert w % 8 == 0
     logits = _forward(new_spec, p2, s2, np.zeros((1, 32, 32, 3), np.float32))
     assert logits.shape == (1, 6)
+
+
+# ----------------------------------------------------------------------------
+# quantization (stage 4) for the mobilenet family
+# ----------------------------------------------------------------------------
+
+from inference_efficient_vision_models_tpu.compress.quant import qmobilenet
+from inference_efficient_vision_models_tpu.compress.quant.engine import (
+    QuantizationEngine,
+)
+from inference_efficient_vision_models_tpu.data.pipeline import normalize_images
+
+
+class _Cfg:
+    batch_size = 16
+    calibration_images = 64
+    DEBUG_MODE = False
+    image_size = (64, 64)
+    compute_dtype = "float32"
+
+
+def test_bn_fold_exact_mbv2():
+    spec, params, state = create_model("mobilenet_v2", num_classes=6)
+    folded = qmobilenet.fold(spec, params, state)
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((2, 64, 64, 3)), jnp.float32
+    )
+    ref, _ = mobilenet.apply(spec, params, state, x, train=False)
+    got = qmobilenet.apply_folded(spec, folded, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_u8_stem_fold_exact_mbv2():
+    """Normalization folded into the u8 stem matches fp32 normalize+conv
+    within int8 weight-quantization error."""
+    from inference_efficient_vision_models_tpu.compress.quant import stemfold
+    from inference_efficient_vision_models_tpu.compress.quant.observers import (
+        ObserverState,
+    )
+
+    rng = np.random.default_rng(5)
+    w = rng.standard_normal((3, 3, 3, 16)).astype(np.float32) * 0.1
+    b = rng.standard_normal(16).astype(np.float32) * 0.1
+    obs = ObserverState(0.0, 6.0, True)
+    stem = stemfold.make_u8_stem(w, b, obs, stride=2, padding=1, image_size=(32, 32))
+
+    u8 = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    got = np.asarray(
+        stemfold.apply_u8_stem(stem, jnp.asarray(u8), stride=2, pad=1, relu6=True)
+    )
+
+    import jax.numpy as jnp2
+    from jax import lax
+
+    x = normalize_images(jnp.asarray(u8))
+    ref = lax.conv_general_dilated(
+        x, jnp.asarray(w), (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    ref = np.asarray(jnp.minimum(jax.nn.relu(ref), 6.0))
+    # bounded by int8 weight-quantization noise accumulated over 27 taps
+    np.testing.assert_allclose(got, ref, atol=0.05)
+
+
+def test_static_int8_close_to_fp32_mbv2():
+    import logging
+
+    spec, params, state = create_model("mobilenet_v2", num_classes=6)
+    cfg = _Cfg()
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 255, (64, 64, 64, 3)).astype(np.uint8)
+    labels = rng.integers(0, 6, 64).astype(np.int32)
+
+    eng = QuantizationEngine(cfg, spec, params, state, logging.getLogger("q"))
+    assert eng.q is qmobilenet  # family dispatch
+    qmodel, q_fn = eng.static_quantize((imgs, labels))
+
+    x = normalize_images(jnp.asarray(imgs[:8]))
+    ref = np.asarray(qmobilenet.apply_folded(spec, eng.folded, x))
+    got = np.asarray(q_fn(jnp.asarray(imgs[:8])))  # raw u8 in
+    err = np.abs(got - ref) / (np.abs(ref).max() + 1e-6)
+    assert err.max() < 0.25, err.max()
+    agree = (got.argmax(1) == ref.argmax(1)).mean()
+    assert agree >= 0.75, agree
+
+    fp32_mb = eng.size_mb(eng.folded)
+    int8_mb = eng.size_mb(qmodel)
+    assert int8_mb < fp32_mb / 3.0, (fp32_mb, int8_mb)
+
+
+def test_static_artifact_roundtrip_mbv2(tmp_path):
+    """serializable strips the derived offset map; restore regenerates it
+    bit-exactly and the restored model predicts identically."""
+    import logging
+
+    from flax import serialization
+
+    spec, params, state = create_model("mobilenet_v2", num_classes=6)
+    cfg = _Cfg()
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 255, (32, 64, 64, 3)).astype(np.uint8)
+    eng = QuantizationEngine(cfg, spec, params, state, logging.getLogger("q"))
+    qmodel, q_fn = eng.static_quantize((imgs, np.zeros(32, np.int32)))
+
+    ser = qmobilenet.serializable(jax.device_get(qmodel))
+    assert "e" not in ser["stem"]
+    blob = serialization.to_bytes(ser)
+    back = qmobilenet.restore_derived(serialization.msgpack_restore(blob))
+    np.testing.assert_array_equal(
+        np.asarray(back["stem"]["e"]), np.asarray(qmodel["stem"]["e"])
+    )
+    got = np.asarray(
+        jax.jit(lambda q, x: qmobilenet.apply_int8(spec, q, x))(back, jnp.asarray(imgs[:4]))
+    )
+    ref = np.asarray(q_fn(jnp.asarray(imgs[:4])))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)

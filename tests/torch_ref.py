@@ -179,3 +179,76 @@ class MobileNetV2(nn.Module):
 
 def mobilenet_v2(num_classes=1000):
     return MobileNetV2(num_classes)
+
+
+# ----------------------------------------------------------------------------
+# ViT oracle (timm-compatible parameter naming: patch_embed.proj, cls_token,
+# pos_embed, blocks.i.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2},
+# norm, head)
+# ----------------------------------------------------------------------------
+
+
+class _Attention(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.heads = heads
+        self.qkv = nn.Linear(dim, dim * 3)
+        self.proj = nn.Linear(dim, dim)
+
+    def forward(self, x):
+        b, t, d = x.shape
+        hd = d // self.heads
+        qkv = self.qkv(x).reshape(b, t, 3, self.heads, hd).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        att = (q @ k.transpose(-2, -1)) * hd**-0.5
+        att = att.softmax(dim=-1)
+        out = (att @ v).transpose(1, 2).reshape(b, t, d)
+        return self.proj(out)
+
+
+class _Block(nn.Module):
+    def __init__(self, dim, heads, mlp_ratio=4.0):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = _Attention(dim, heads)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        hidden = int(dim * mlp_ratio)
+        self.mlp = nn.Sequential()
+        self.mlp.fc1 = nn.Linear(dim, hidden)
+        self.mlp.fc2 = nn.Linear(hidden, dim)
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        h = self.mlp.fc2(nn.functional.gelu(self.mlp.fc1(self.norm2(x))))
+        return x + h
+
+
+class VisionTransformer(nn.Module):
+    def __init__(self, img_size=224, patch=16, dim=192, depth=12, heads=3,
+                 num_classes=1000):
+        super().__init__()
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, dim, patch, patch)
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+        n_tok = 1 + (img_size // patch) ** 2
+        self.pos_embed = nn.Parameter(torch.zeros(1, n_tok, dim))
+        self.blocks = nn.ModuleList([_Block(dim, heads) for _ in range(depth)])
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.head = nn.Linear(dim, num_classes)
+        nn.init.trunc_normal_(self.pos_embed, std=0.02)
+        nn.init.trunc_normal_(self.cls_token, std=0.02)
+
+    def forward(self, x):
+        x = self.patch_embed.proj(x)  # (b, d, h, w)
+        b, d, h, w = x.shape
+        x = x.flatten(2).transpose(1, 2)  # (b, hw, d)
+        cls = self.cls_token.expand(b, -1, -1)
+        x = torch.cat([cls, x], dim=1) + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x)
+        x = self.norm(x)
+        return self.head(x[:, 0])
+
+
+def vit_tiny(num_classes=1000, img_size=224):
+    return VisionTransformer(img_size, 16, 192, 12, 3, num_classes)
