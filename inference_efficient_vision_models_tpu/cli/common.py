@@ -48,8 +48,10 @@ def setup_stage(cfg) -> Tuple:
     fold_idx_dict.json — verified identical across stages in
     tests/test_pipeline.py (fixes reference split divergence, SURVEY.md §2.3).
     """
+    from ..parallel import initialize_distributed
     from ..utils import enable_compilation_cache
 
+    initialize_distributed()  # no-op unless multi-process coordinates are set
     enable_compilation_cache()
     logger = get_logger(cfg)
     logger.info("config: %r", cfg)

@@ -2,6 +2,7 @@ from .mesh import (
     make_mesh,
     batch_sharding,
     replicated,
+    replicate,
     param_shardings,
     shard_batch,
     initialize_distributed,
@@ -11,6 +12,7 @@ __all__ = [
     "make_mesh",
     "batch_sharding",
     "replicated",
+    "replicate",
     "param_shardings",
     "shard_batch",
     "initialize_distributed",

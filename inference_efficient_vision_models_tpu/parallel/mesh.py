@@ -31,7 +31,18 @@ MODEL_AXIS = "model"
 
 
 def initialize_distributed(**kwargs) -> None:
-    """Multi-host init (controller-less). Safe no-op on a single host."""
+    """Multi-host init (controller-less). Safe no-op on a single host.
+
+    Called from every stage CLI (cli/common.setup_stage). Initialization is
+    gated on explicit coordinates — either kwargs or the standard
+    ``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``
+    env vars (also auto-set by TPU pod / SLURM launchers jax recognizes) —
+    so single-process runs never touch the coordination service.
+    """
+    import os
+
+    if not (kwargs or os.environ.get("JAX_COORDINATOR_ADDRESS")):
+        return
     try:
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError):
@@ -87,6 +98,22 @@ def param_shardings(mesh: Mesh, params, *, tp_head: bool = True):
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def replicate(mesh: Mesh, tree):
+    """Place a host pytree fully replicated over the mesh.
+
+    Multi-host: every process holds the complete (identical) value, so
+    ``make_array_from_process_local_data`` assembles the replicated global
+    array without cross-process transfers; single-host it is a device_put.
+    """
+    sh = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(sh, np.asarray(a)),
+            tree,
+        )
+    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
 
 
 def shard_batch(mesh: Mesh, batch):
