@@ -2,20 +2,75 @@
 """Headline benchmark: INT8 pruned ResNet18 inference on one TPU chip.
 
 Reproduces the reference's flagship configuration (distill → prune ~20% →
-static INT8, `BASELINE.md`) and measures serving throughput + latency of the
-true-int8 MXU path. Prints ONE JSON line:
+static INT8, `BASELINE.md`) and measures the true-int8 MXU path. Prints ONE
+JSON line; key fields:
 
-    {"metric": ..., "value": ..., "unit": "img/s", "vs_baseline": ...}
+  value / vs_baseline      pipelined serving throughput vs the 10k img/s
+                           north star (device-resident input)
+  device_ms_per_batch      device-only batch time from a fori_loop-chained
+                           program (dispatch fully amortized)
+  device_p50_ms_bs1        device-only single-image latency (chained) —
+                           the <1 ms/image north-star metric
+  p50_latency_ms_bs1_sync  per-call synchronized latency incl. host dispatch
+  fp32/bf16/fp32_true      same-model float reference points, device-chained.
+                           NOTE: XLA runs "fp32" convs as bf16 passes by
+                           default on TPU; fp32_true forces
+                           precision=float32 (the reference's IEEE fp32
+                           semantics, `teacher_training/train.py:27`)
+  accuracy / source        test-split accuracy of the real stage-4 artifact
+                           (output/quantization/...) when present, else of
+                           the in-process build
 
-vs_baseline is against the 10,000 img/s/chip north-star target
-(driver BASELINE.json).
+Run: python bench.py   (optionally BENCH_BATCH=256 BENCH_EXP=<experiment>)
 """
 
+import glob
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+TARGET_IPS = 10_000.0
+
+
+def _chain(body_fn, k):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def body(i, x):
+        out = body_fn(x)
+        return x + (jnp.sum(out.astype(jnp.float32)) > 0).astype(x.dtype)
+
+    return jax.jit(lambda x: lax.fori_loop(0, k, body, x))
+
+
+def _timeit(fn, *args, iters=4):
+    import jax
+
+    r = fn(*args)
+    jax.block_until_ready(r)
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _find_artifact():
+    """Newest stage-4 static-int8 artifact, if any."""
+    pats = sorted(
+        glob.glob("output/quantization/*/fold_*/model_static_int8.msgpack"),
+        key=os.path.getmtime,
+        reverse=True,
+    )
+    for p in pats:
+        if os.path.exists(os.path.join(os.path.dirname(p), "spec.json")):
+            return os.path.dirname(p)
+    return None
 
 
 def main():
@@ -32,6 +87,9 @@ def main():
         make_synthetic_neudet,
     )
     from inference_efficient_vision_models_tpu.models import create_model
+    from inference_efficient_vision_models_tpu.ops.space_to_depth import (
+        space_to_depth_u8,
+    )
     from inference_efficient_vision_models_tpu.utils import (
         cpu_device,
         device_materialize,
@@ -39,9 +97,16 @@ def main():
     )
 
     enable_compilation_cache()
+    BATCH = int(os.environ.get("BENCH_BATCH", 256))
+    K = 32
 
-    BATCH = 256
-    TARGET_IPS = 10_000.0
+    import logging
+
+    logger = logging.getLogger("bench")
+
+    # ---- model: real stage-4 artifact when present, else in-process build --
+    artifact_dir = _find_artifact()
+    source = "artifact" if artifact_dir else "inprocess"
 
     class Cfg:
         batch_size = 64
@@ -50,93 +115,152 @@ def main():
         image_size = (224, 224)
         compute_dtype = "bfloat16"
 
-    with jax.default_device(cpu_device()):
-        spec, params, state = create_model("resnet18", num_classes=6)
-        # ~20% structured sparsity, MXU-friendly channel multiples
-        pspec, pparams, pstate = prune_model(
-            spec, params, state, ratio=0.11, method="l2", round_to=8
+    if artifact_dir:
+        import json as _json
+
+        from flax import serialization
+
+        from inference_efficient_vision_models_tpu.models.registry import (
+            spec_from_dict,
         )
 
-    import logging
+        with open(os.path.join(artifact_dir, "spec.json")) as f:
+            pspec = spec_from_dict(_json.load(f))
+        with open(os.path.join(artifact_dir, "model_static_int8.msgpack"), "rb") as f:
+            qmodel = serialization.msgpack_restore(f.read())
+        qmodel = device_materialize(qresnet.restore_derived(qmodel))
+        # folded float reference reconstructed from the pruned checkpoint
+        from inference_efficient_vision_models_tpu.core import artifacts as _art
 
-    logger = logging.getLogger("bench")
-    eng = QuantizationEngine(Cfg(), pspec, pparams, pstate, logger)
+        src = artifact_dir.replace("output/quantization", "output/pruning")
+        try:
+            raw = _art.load_checkpoint_raw(src, "best")
+            eng = QuantizationEngine(
+                Cfg(), pspec, raw["params"], raw["state"], logger
+            )
+        except Exception:
+            with jax.default_device(cpu_device()):
+                _, params, state = create_model(pspec, num_classes=pspec.num_classes)
+            eng = QuantizationEngine(Cfg(), pspec, params, state, logger)
+    else:
+        with jax.default_device(cpu_device()):
+            spec, params, state = create_model("resnet18", num_classes=6)
+            # ~20% structured sparsity, MXU/VPU-friendly channel multiples
+            pspec, pparams, pstate = prune_model(
+                spec, params, state, ratio=0.11, method="l2", round_to=8
+            )
+        eng = QuantizationEngine(Cfg(), pspec, pparams, pstate, logger)
+        calib = make_synthetic_neudet(16, 224, seed=0)
+        qmodel, _ = eng.static_quantize(calib)
+        qmodel = device_materialize(qmodel)
+    folded = device_materialize(eng.folded)
 
-    calib_imgs, calib_labels = make_synthetic_neudet(16, 224, seed=0)
-    qmodel, _ = eng.static_quantize((calib_imgs, calib_labels))
-    qmodel = device_materialize(qmodel)
-
-    # raw uint8 in: normalization is folded into the int8 stem conv, and the
-    # data pipeline delivers the space-to-depth layout (host-side relayout)
-    from inference_efficient_vision_models_tpu.ops.space_to_depth import (
-        space_to_depth_u8,
-    )
-
-    fwd = jax.jit(lambda q, x: qresnet.apply_int8(pspec, q, x))
+    # model CLOSED OVER the jit (weights are executable-owned constants):
+    # per-call argument marshaling of ~150 leaf buffers over the tunnel makes
+    # the pipelined-dispatch measurement unreliable otherwise
+    fwd = jax.jit(lambda x: qresnet.apply_int8(pspec, qmodel, x))
     x_full = np.random.default_rng(0).integers(0, 255, (BATCH, 224, 224, 3)).astype(np.uint8)
-    x = jnp.asarray(space_to_depth_u8(x_full))
+    x = device_materialize(jnp.asarray(space_to_depth_u8(x_full)))
 
-    # throughput: pipelined dispatch, sync at the end; best of 3 rounds
-    # (the tunneled-TPU environment shows run-to-run timing variance)
+    # ---- serving throughput: pipelined per-call dispatch ------------------
     for _ in range(5):
-        r = fwd(qmodel, x)
+        r = fwd(x)
     r.block_until_ready()
     iters = 40
     best_dt = float("inf")
     for _round in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
-            r = fwd(qmodel, x)
+            r = fwd(x)
         r.block_until_ready()
         best_dt = min(best_dt, time.perf_counter() - t0)
     ips = BATCH * iters / best_dt
     batch_ms = best_dt / iters * 1e3
 
-    # synchronized batch-1 latency (includes host dispatch)
-    x1 = jnp.asarray(space_to_depth_u8(x_full[:1]))
+    # ---- device-only times (chained: dispatch amortized to zero) ----------
+    f_dev = _chain(lambda xx: qresnet.apply_int8(pspec, qmodel, xx), K)
+    device_ms = _timeit(f_dev, x) / K * 1e3
+    device_ips = BATCH / device_ms * 1e3
+
+    x1 = device_materialize(jnp.asarray(space_to_depth_u8(x_full[:1])))
+    f_dev1 = _chain(lambda xx: qresnet.apply_int8(pspec, qmodel, xx), 64)
+    device_ms_bs1 = _timeit(f_dev1, x1, iters=6) / 64 * 1e3
+
+    # per-call synchronized bs-1 latency (includes the tunnel's per-launch
+    # round trip) + the same-session sync floor of a NO-OP program: on the
+    # axon transport any isolated launch costs the same ~tens of ms, so
+    # sync_p50 ≈ floor proves the residual above device time is transport
+    fwd1 = jax.jit(lambda xx: qresnet.apply_int8(pspec, qmodel, xx))
     for _ in range(10):
-        jax.block_until_ready(fwd(qmodel, x1))
+        jax.block_until_ready(fwd1(x1))
     lats = []
     for _ in range(50):
         t0 = time.perf_counter()
-        jax.block_until_ready(fwd(qmodel, x1))
+        jax.block_until_ready(fwd1(x1))
         lats.append((time.perf_counter() - t0) * 1e3)
-    p50 = float(np.percentile(lats, 50))
+    p50_sync = float(np.percentile(lats, 50))
 
-    # accuracy delta int8 vs fp32 (argmax agreement on held-out synthetic)
-    test_imgs, _ = make_synthetic_neudet(8, 224, seed=1)
-    xt = normalize_images(jnp.asarray(test_imgs))
-    folded = device_materialize(eng.folded)
-    ref = np.asarray(jax.jit(lambda m, x: qresnet.apply_folded(pspec, m, x))(folded, xt))
-    got = np.asarray(fwd(qmodel, jnp.asarray(space_to_depth_u8(test_imgs))))
-    agree = float((ref.argmax(1) == got.argmax(1)).mean())
+    tiny = jax.jit(lambda t: t + 1.0)
+    t_one = device_materialize(jnp.ones((8, 128), jnp.float32))
+    for _ in range(5):
+        jax.block_until_ready(tiny(t_one))
+    floor = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        jax.block_until_ready(tiny(t_one))
+        floor.append((time.perf_counter() - t0) * 1e3)
+    sync_floor = float(np.percentile(floor, 50))
 
-    # fp32 / fp16 reference points (same pruned model, folded float path)
-    def float_ips(dtype):
-        m = jax.tree.map(
+    # ---- float reference points (device-chained, same pruned model) -------
+    xf = device_materialize(jnp.asarray(x_full))
+
+    def float_ms(dtype, precision=None):
+        m = device_materialize(jax.tree.map(
             lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, folded
-        )
-        m = device_materialize(m)
-        f = jax.jit(
-            lambda mm, x_u8: qresnet.apply_folded(
-                pspec, mm, normalize_images(x_u8, dtype)
-            )
-        )
-        xf = jnp.asarray(x_full)
-        for _ in range(3):
-            r = f(m, xf)
-        r.block_until_ready()
-        best = float("inf")
-        for _round in range(2):
-            t0 = time.perf_counter()
-            for _ in range(20):
-                r = f(m, xf)
-            r.block_until_ready()
-            best = min(best, time.perf_counter() - t0)
-        return BATCH * 20 / best
+        ))
 
-    fp32_ips = float_ips(jnp.float32)
-    fp16_ips = float_ips(jnp.float16)
+        def body(xx):
+            if precision is None:
+                return qresnet.apply_folded(pspec, m, normalize_images(xx, dtype))
+            with jax.default_matmul_precision(precision):
+                return qresnet.apply_folded(pspec, m, normalize_images(xx, dtype))
+
+        return _timeit(_chain(body, K), xf) / K * 1e3
+
+    fp32_ms = float_ms(jnp.float32)                  # XLA default: bf16 passes
+    fp32_true_ms = float_ms(jnp.float32, "float32")  # IEEE fp32 semantics
+    bf16_ms = float_ms(jnp.bfloat16)
+
+    # ---- accuracy ----------------------------------------------------------
+    if artifact_dir:
+        from inference_efficient_vision_models_tpu.core.config import QuantConfig
+        from inference_efficient_vision_models_tpu.data import load_dataset
+
+        exp = os.path.basename(os.path.dirname(artifact_dir))
+        cfg = QuantConfig(experiment_name=exp, choice=2)
+        data = load_dataset(cfg, logger)
+        test_imgs, test_labels = data["test"]
+    else:
+        test_imgs, test_labels = make_synthetic_neudet(64, 224, seed=1)
+    n_eval = min(len(test_imgs), 512)
+    fwd64 = jax.jit(lambda xx: qresnet.apply_int8(pspec, qmodel, xx))
+    preds = []
+    for i in range(0, n_eval, 64):
+        chunk = test_imgs[i : i + 64]
+        if len(chunk) < 64:  # static shapes: pad the tail chunk
+            chunk = np.concatenate([chunk, np.zeros((64 - len(chunk), *chunk.shape[1:]), chunk.dtype)])
+        got = np.asarray(fwd64(jnp.asarray(space_to_depth_u8(chunk))))[: len(test_imgs[i : i + 64])]
+        preds.append(got.argmax(1))
+    preds = np.concatenate(preds)
+    accuracy = float((preds == test_labels[:n_eval]).mean())
+
+    ref_fn = jax.jit(
+        lambda m, xx: qresnet.apply_folded(pspec, m, normalize_images(xx))
+    )
+    ref = np.asarray(ref_fn(folded, jnp.asarray(test_imgs[:64]))).argmax(1)
+    agree = float((preds[:64] == ref).mean())
+
+    from inference_efficient_vision_models_tpu.metrics.profile import model_size_bytes
 
     print(json.dumps({
         "metric": "int8_pruned_resnet18_throughput",
@@ -145,13 +269,24 @@ def main():
         "vs_baseline": round(ips / TARGET_IPS, 3),
         "batch_size": BATCH,
         "batch_ms": round(batch_ms, 3),
-        "p50_latency_ms_bs1_sync": round(p50, 3),
-        "fp32_img_per_s": round(fp32_ips, 1),
-        "fp16_img_per_s": round(fp16_ips, 1),
+        "device_ms_per_batch": round(device_ms, 3),
+        "device_img_per_s": round(device_ips, 1),
+        "device_p50_ms_bs1": round(device_ms_bs1, 4),
+        "p50_latency_ms_bs1_sync": round(p50_sync, 3),
+        "sync_floor_ms_noop_program": round(sync_floor, 3),
+        "fp32_ms_per_batch": round(fp32_ms, 3),
+        "fp32_true_ms_per_batch": round(fp32_true_ms, 3),
+        "bf16_ms_per_batch": round(bf16_ms, 3),
+        "int8_vs_fp32_default": round(fp32_ms / device_ms, 2),
+        "int8_vs_fp32_true": round(fp32_true_ms / device_ms, 2),
+        "int8_vs_bf16": round(bf16_ms / device_ms, 2),
+        "accuracy": round(accuracy, 4),
+        "n_eval": int(n_eval),
         "int8_vs_fp32_argmax_agreement": agree,
-        "params_M": round(
-            sum(int(p.size) for p in jax.tree.leaves(pparams)) / 1e6, 3
-        ),
+        "source": source,
+        "int8_size_mb": round(model_size_bytes(qresnet.serializable(
+            jax.device_get(qmodel))) / 1e6, 2),
+        "params_M": round(model_size_bytes(jax.device_get(folded)) / 4e6, 3),
     }))
 
 
