@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-EPOCHS = 6
+EPOCHS = int(os.environ.get("PARITY_EPOCHS", 16))
 BATCH = 32
 LR = 1e-3
 IMG = 64
@@ -50,10 +50,20 @@ def run_torch(train, test):
         x = (imgs.astype(np.float32) - mean) / std
         return torch.from_numpy(x.transpose(0, 3, 1, 2))
 
+    def test_acc():
+        model.eval()
+        correct = 0
+        with torch.no_grad():
+            for s in range(0, len(test[1]), BATCH):
+                out = model(to_t(test[0][s : s + BATCH]))
+                correct += (out.argmax(1).numpy() == test[1][s : s + BATCH]).sum()
+        return correct / len(test[1])
+
     imgs, labels = train
     rng = np.random.default_rng(SEED)
     n = len(labels)
     t0 = time.time()
+    curve = []
     for epoch in range(EPOCHS):
         order = rng.permutation(n)
         model.train()
@@ -64,14 +74,8 @@ def run_torch(train, test):
             loss = F.cross_entropy(out, torch.from_numpy(labels[idx]).long())
             loss.backward()
             opt.step()
-    model.eval()
-    correct = 0
-    with torch.no_grad():
-        for s in range(0, len(test[1]), BATCH):
-            out = model(to_t(test[0][s : s + BATCH]))
-            correct += (out.argmax(1).numpy() == test[1][s : s + BATCH]).sum()
-    acc = correct / len(test[1])
-    return acc, time.time() - t0
+        curve.append(test_acc())
+    return curve, time.time() - t0
 
 
 def run_jax(train, test):
@@ -90,24 +94,36 @@ def run_jax(train, test):
     params, state = device_materialize((params, state))
     opt = adamw_init(params)
     step = make_train_step(spec, learning_rate=LR, compute_dtype="float32")
+    es = make_eval_step(spec, compute_dtype="float32")
     loader = Batches(train[0], train[1], BATCH, shuffle=True, seed=SEED)
+    test_loader = Batches(test[0], test[1], BATCH)
     t0 = time.time()
+    curve = []
     for _epoch in range(EPOCHS):
         for batch in loader:
             params, state, opt, _m = step(params, state, opt, batch)
-    secs = time.time() - t0
-    es = make_eval_step(spec, compute_dtype="float32")
-    res = evaluate(es, params, state, Batches(test[0], test[1], BATCH))
-    return res["acc"], secs
+        curve.append(evaluate(es, params, state, test_loader)["acc"])
+    return curve, time.time() - t0
 
 
 def main():
     train, test = data()
-    jax_acc, jax_s = run_jax(train, test)
-    torch_acc, torch_s = run_torch(train, test)
-    print(f"torch ResNet18: test acc {torch_acc * 100:.2f}%  ({torch_s:.0f}s)")
-    print(f"jax   ResNet18: test acc {jax_acc * 100:.2f}%  ({jax_s:.0f}s)")
-    print(f"delta: {abs(torch_acc - jax_acc) * 100:.2f} points")
+    jax_curve, jax_s = run_jax(train, test)
+    torch_curve, torch_s = run_torch(train, test)
+    print(f"\nepoch | torch acc | jax acc   (matched budget: {EPOCHS} epochs, "
+          f"torch {torch_s:.0f}s CPU, jax {jax_s:.0f}s)")
+    for e, (t, j) in enumerate(zip(torch_curve, jax_curve)):
+        print(f"{e + 1:5d} | {t * 100:8.2f}% | {j * 100:6.2f}%")
+    print(f"final delta: {abs(torch_curve[-1] - jax_curve[-1]) * 100:.2f} points")
+    # CSV for REPORT.md
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "output", "parity_curves.csv")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        f.write("epoch,torch_acc,jax_acc\n")
+        for e, (t, j) in enumerate(zip(torch_curve, jax_curve)):
+            f.write(f"{e + 1},{t:.4f},{j:.4f}\n")
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":
