@@ -1,3 +1,4 @@
+from .device_profile import profile_device_ops, profile_hlo_ops
 from .report import summarize_folds
 from .profile import (
     count_params,
@@ -8,6 +9,8 @@ from .profile import (
 )
 
 __all__ = [
+    "profile_device_ops",
+    "profile_hlo_ops",
     "summarize_folds",
     "count_params",
     "model_size_bytes",

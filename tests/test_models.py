@@ -119,3 +119,23 @@ def test_bf16_compute_close_to_fp32():
     f32, _ = resnet.apply(spec, params, state, x, train=False)
     bf16, _ = resnet.apply(spec, params, state, x, train=False, compute_dtype=jnp.bfloat16)
     assert np.max(np.abs(np.asarray(f32) - np.asarray(bf16))) < 0.35
+
+
+def test_device_profile_tolerates_any_backend():
+    """profile_device_ops returns a (possibly empty) sorted op table without
+    raising — on the CPU CI backend there may be no device rows."""
+    import jax
+
+    from inference_efficient_vision_models_tpu.metrics.device_profile import (
+        profile_device_ops,
+    )
+
+    f = jax.jit(lambda x: x * 2 + 1)
+    import jax.numpy as jnp
+
+    x = jnp.ones((128, 128))
+    rows = profile_device_ops(lambda: jax.block_until_ready(f(x)), iters=3)
+    assert isinstance(rows, list)
+    for r in rows:
+        assert "total_self_us" in r and "name" in r
+    assert rows == sorted(rows, key=lambda r: -r["total_self_us"])
