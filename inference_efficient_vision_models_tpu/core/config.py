@@ -60,6 +60,12 @@ class BaseConfig:
         self.batch_size = 64
         self.learning_rate = 1e-4
         self.epochs = 2
+        # LR schedule over the run: 'constant' (reference parity — it had no
+        # scheduler), 'cosine', or 'warmup_cosine' (linear warmup then cosine
+        # decay to lr_min_fraction * learning_rate)
+        self.lr_schedule = "constant"
+        self.warmup_steps = 0
+        self.lr_min_fraction = 0.0
         self.test_ckpt_type = "best"  # 'best' or 'last'
 
         self.data_dir = os.path.join(_repo_root(), "data", "NEU-DET")

@@ -1,5 +1,5 @@
 from .losses import cross_entropy, kd_loss, masked_accuracy
-from .optim import adamw_init, adamw_update
+from .optim import adamw_init, adamw_update, make_lr_schedule
 from .steps import make_train_step, make_kd_train_step, make_eval_step
 from .loop import train_classifier, evaluate
 
@@ -8,6 +8,7 @@ __all__ = [
     "kd_loss",
     "masked_accuracy",
     "adamw_init",
+    "make_lr_schedule",
     "adamw_update",
     "make_train_step",
     "make_kd_train_step",

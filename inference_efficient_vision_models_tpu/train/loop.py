@@ -144,9 +144,22 @@ def train_classifier(
     )
     val_loader = Batches(val_data[0], val_data[1], cfg.batch_size)
 
+    schedule = None
+    if getattr(cfg, "lr_schedule", "constant") != "constant":
+        from .optim import make_lr_schedule
+
+        schedule = make_lr_schedule(
+            cfg.lr_schedule, lr, epochs * len(train_loader),
+            warmup_steps=getattr(cfg, "warmup_steps", 0),
+            min_fraction=getattr(cfg, "lr_min_fraction", 0.0),
+        )
+        logger.info("lr schedule: %s over %d steps", cfg.lr_schedule,
+                    epochs * len(train_loader))
+
     if teacher is None:
         step = steps_mod.make_train_step(
-            spec, learning_rate=lr, compute_dtype=cfg.compute_dtype
+            spec, learning_rate=lr, compute_dtype=cfg.compute_dtype,
+            lr_schedule=schedule,
         )
         extra = ()
     else:
@@ -158,6 +171,7 @@ def train_classifier(
             temperature=cfg.temperature,
             learning_rate=lr,
             compute_dtype=cfg.compute_dtype,
+            lr_schedule=schedule,
         )
         extra = (t_params, t_state)
     eval_step = steps_mod.make_eval_step(spec, compute_dtype=cfg.compute_dtype)

@@ -60,3 +60,37 @@ def adamw_update(
     new_mu = jax.tree.map(lambda o: o[1], out, is_leaf=lambda x: isinstance(x, tuple))
     new_nu = jax.tree.map(lambda o: o[2], out, is_leaf=lambda x: isinstance(x, tuple))
     return new_params, AdamWState(step=step, mu=new_mu, nu=new_nu)
+
+
+def make_lr_schedule(
+    kind: str,
+    base_lr: float,
+    total_steps: int,
+    *,
+    warmup_steps: int = 0,
+    min_fraction: float = 0.0,
+):
+    """→ jittable ``fn(step int32) -> lr f32``.
+
+    'constant'       — the reference's behavior (no scheduler anywhere in
+                       `teacher_training/main.py` / `knowledge_distillation/
+                       main.py`); kept as the default for parity.
+    'cosine'         — cosine decay base_lr → min_fraction·base_lr.
+    'warmup_cosine'  — linear warmup over ``warmup_steps`` then cosine.
+    """
+    if kind == "constant":
+        return lambda step: jnp.float32(base_lr)
+    if kind not in ("cosine", "warmup_cosine"):
+        raise ValueError(f"unknown lr_schedule {kind!r}")
+    warmup = warmup_steps if kind == "warmup_cosine" else 0
+    decay_steps = max(total_steps - warmup, 1)
+
+    def fn(step):
+        t = step.astype(jnp.float32)
+        warm = t / jnp.maximum(warmup, 1)
+        prog = jnp.clip((t - warmup) / decay_steps, 0.0, 1.0)
+        cos = min_fraction + (1.0 - min_fraction) * 0.5 * (1.0 + jnp.cos(jnp.pi * prog))
+        lr = jnp.where(t < warmup, warm, cos) * base_lr
+        return lr.astype(jnp.float32)
+
+    return fn

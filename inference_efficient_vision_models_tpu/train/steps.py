@@ -27,11 +27,15 @@ def _dtype(name):
 
 
 def make_train_step(spec, *, learning_rate, compute_dtype="bfloat16", mesh=None,
-                    weight_decay=0.01):
-    """CE classifier train step: (params, state, opt, batch) → (params, state, opt, metrics)."""
+                    weight_decay=0.01, lr_schedule=None):
+    """CE classifier train step: (params, state, opt, batch) → (params, state, opt, metrics).
+
+    ``lr_schedule`` is an optional jittable ``fn(step) -> lr`` (see
+    optim.make_lr_schedule); None keeps the constant reference behavior."""
     cdt = _dtype(compute_dtype)
 
     def step(params, state, opt, batch):
+        lr = lr_schedule(opt.step) if lr_schedule is not None else learning_rate
         imgs_u8, labels, mask = batch
         x = normalize_images(imgs_u8, cdt)
 
@@ -46,7 +50,7 @@ def make_train_step(spec, *, learning_rate, compute_dtype="bfloat16", mesh=None,
             loss_fn, has_aux=True
         )(params)
         params2, opt2 = adamw_update(
-            params, grads, opt, lr=learning_rate, weight_decay=weight_decay
+            params, grads, opt, lr=lr, weight_decay=weight_decay
         )
         metrics = {
             "loss": loss,
@@ -68,6 +72,7 @@ def make_kd_train_step(
     compute_dtype="bfloat16",
     mesh=None,
     weight_decay=0.01,
+    lr_schedule=None,
 ):
     """KD step: student trains against frozen teacher logits + hard labels.
 
@@ -78,6 +83,7 @@ def make_kd_train_step(
     cdt = _dtype(compute_dtype)
 
     def step(params, state, opt, teacher_params, teacher_state, batch):
+        lr = lr_schedule(opt.step) if lr_schedule is not None else learning_rate
         imgs_u8, labels, mask = batch
         x = normalize_images(imgs_u8, cdt)
         teacher_logits, _ = apply_model(
@@ -100,7 +106,7 @@ def make_kd_train_step(
             loss_fn, has_aux=True
         )(params)
         params2, opt2 = adamw_update(
-            params, grads, opt, lr=learning_rate, weight_decay=weight_decay
+            params, grads, opt, lr=lr, weight_decay=weight_decay
         )
         metrics = {
             "loss": loss,

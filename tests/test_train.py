@@ -151,3 +151,53 @@ def test_training_reduces_loss_smoke(tmp_path):
     from inference_efficient_vision_models_tpu.models import ResNetSpec
 
     assert ResNetSpec.from_dict(sd) == spec
+
+
+def test_lr_schedules():
+    import jax.numpy as jnp
+
+    from inference_efficient_vision_models_tpu.train import make_lr_schedule
+
+    const = make_lr_schedule("constant", 1e-3, 100)
+    assert float(const(jnp.int32(50))) == pytest.approx(1e-3)
+
+    cos = make_lr_schedule("cosine", 1e-3, 100)
+    assert float(cos(jnp.int32(0))) == pytest.approx(1e-3)
+    assert float(cos(jnp.int32(50))) == pytest.approx(5e-4, rel=1e-3)
+    assert float(cos(jnp.int32(100))) == pytest.approx(0.0, abs=1e-9)
+
+    wc = make_lr_schedule("warmup_cosine", 1e-3, 100, warmup_steps=10,
+                          min_fraction=0.1)
+    assert float(wc(jnp.int32(0))) == pytest.approx(0.0)
+    assert float(wc(jnp.int32(5))) == pytest.approx(5e-4)
+    assert float(wc(jnp.int32(10))) == pytest.approx(1e-3)
+    assert float(wc(jnp.int32(100))) == pytest.approx(1e-4, rel=1e-3)
+
+    with pytest.raises(ValueError):
+        make_lr_schedule("poly", 1e-3, 100)
+
+
+def test_train_step_with_schedule_runs():
+    import jax
+
+    from inference_efficient_vision_models_tpu.models import create_model
+    from inference_efficient_vision_models_tpu.train import (
+        adamw_init,
+        make_lr_schedule,
+        make_train_step,
+    )
+
+    spec, params, state = create_model("mobilenet_v2", num_classes=6)
+    sched = make_lr_schedule("warmup_cosine", 1e-3, 20, warmup_steps=3)
+    step = make_train_step(
+        spec, learning_rate=1e-3, compute_dtype="float32", lr_schedule=sched
+    )
+    rng = np.random.default_rng(0)
+    batch = (
+        rng.integers(0, 255, (4, 32, 32, 3)).astype(np.uint8),
+        rng.integers(0, 6, 4).astype(np.int32),
+        np.ones(4, np.float32),
+    )
+    p, s, o, m = step(params, state, adamw_init(params), batch)
+    assert np.isfinite(float(m["loss"]))
+    assert int(o.step) == 1
