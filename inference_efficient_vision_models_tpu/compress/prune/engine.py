@@ -110,6 +110,8 @@ def apply_pruning(
                 bn_s[k] = np.take(np.asarray(bn_s[k]), idx, axis=0)
         for path, axis in g["consumers"]:
             set_path(params, path, np.take(np.asarray(get_path(params, path)), idx, axis=axis))
+        for path in g.get("vectors", ()):  # 1-D biases (SE convs)
+            set_path(params, path, np.take(np.asarray(get_path(params, path)), idx, axis=0))
         if g["fc_in"]:
             params["fc"]["w"] = np.take(np.asarray(params["fc"]["w"]), idx, axis=0)
         new_widths[key] = len(idx)
@@ -119,7 +121,33 @@ def apply_pruning(
 
 def _rebuild_spec(spec, new_widths: Dict[GroupKey, int]):
     """Record pruned widths into a fresh descriptor (family-specific keys)."""
+    from ...models.efficientnet import EfficientNetSpec
     from ...models.mobilenet import MobileNetV2Spec
+
+    if isinstance(spec, EfficientNetSpec):
+        widths = list(spec.stage_widths)
+        hidden = [list(r) for r in spec.hidden_widths]
+        se = [list(r) for r in spec.se_widths]
+        stem, last = spec.stem_width, spec.last_width
+        for key, n in new_widths.items():
+            if key[0] == "stem":
+                stem = n
+            elif key[0] == "stage":
+                widths[key[1]] = n
+            elif key[0] == "hidden":
+                hidden[key[1]][key[2]] = n
+            elif key[0] == "se":
+                se[key[1]][key[2]] = n
+            elif key[0] == "last":
+                last = n
+        new = spec.with_widths(widths, hidden, stem, last, se_widths=se)
+        # t=1 blocks share their input group: keep hidden == input width
+        hidden2 = [list(r) for r in new.hidden_widths]
+        for s, depth in enumerate(new.depths):
+            for b in range(depth):
+                if not new.has_expand[s][b]:
+                    hidden2[s][b] = new.block_in_width(s, b)
+        return new.with_widths(hidden_widths=hidden2)
 
     if isinstance(spec, MobileNetV2Spec):
         widths = list(spec.stage_widths)

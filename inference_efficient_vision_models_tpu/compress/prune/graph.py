@@ -1,4 +1,5 @@
-"""Channel-dependency graphs for structured pruning (ResNet + MobileNetV2).
+"""Channel-dependency graphs for structured pruning (ResNet, MobileNetV2,
+EfficientNet).
 
 The reference delegates dependency tracking to ``torch_pruning``'s dependency
 graph traced from example inputs (`pruning/pruning_engine_structured.py:50-70`).
@@ -9,11 +10,18 @@ prunable width corresponds to one coupled group of parameter slices —
   (HWIO axis 3) + the BN that normalizes it (all vectors, axis 0),
 * consumers: conv kernels whose INPUT channel dim carries it (HWIO axis 2),
   and the classifier kernel's input rows for the final group,
-* depthwise kernels (MobileNetV2) are a special edge: their HWIO shape is
-  ``(k, k, 1, C)`` with input channels == output channels == C, so they are
-  listed as PRODUCERS (axis 3) of whatever group carries their channels —
-  the group of the preceding expand conv, or the block's *input* group for
-  t=1 blocks.
+* depthwise kernels (MobileNetV2/EfficientNet) are a special edge: their
+  HWIO shape is ``(k, k, 1, C)`` with input channels == output channels ==
+  C, so they are listed as PRODUCERS (axis 3) of whatever group carries
+  their channels — the group of the preceding expand conv, or the block's
+  *input* group for t=1 blocks,
+* squeeze-excitation (EfficientNet) couples twice: the gate's elementwise
+  multiply puts ``se_expand``'s OUTPUT columns (and bias) in the hidden
+  group alongside the dw conv, and ``se_reduce``'s INPUT rows consume it;
+  the SE squeeze width itself is a free group. SE weights are 2-D
+  ``(in, out)`` matrices, so their axes are 0/1 rather than HWIO 2/3; an
+  optional ``vectors`` entry lists 1-D parameter arrays (biases) sliced on
+  axis 0.
 
 Residual adds force stage-wide coupling: every block output in a stage (plus
 the downsample branch / the stem where tied) shares one group — pruning a
@@ -28,6 +36,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Tuple
 
+from ...models.efficientnet import EfficientNetSpec
 from ...models.mobilenet import MobileNetV2Spec
 from ...models.widths import ResNetSpec
 
@@ -56,9 +65,111 @@ def group_slices(spec) -> List[Dict]:
                   classifier head is simply not part of any group — head
                   protection as in reference `pruning_engine_structured.py:35-43`)
     """
+    if isinstance(spec, EfficientNetSpec):
+        return group_slices_effnet(spec)
     if isinstance(spec, MobileNetV2Spec):
         return group_slices_mbv2(spec)
     return group_slices_resnet(spec)
+
+
+def group_slices_effnet(spec: EfficientNetSpec) -> List[Dict]:
+    """Coupled groups of an EfficientNet (MBConv = MobileNetV2 inverted
+    residual + squeeze-excitation; see group_slices_mbv2 for the base
+    topology). Extra SE edges per block on the hidden group:
+    producers += se_expand.w columns (axis 1) + se_expand.b; consumers +=
+    se_reduce.w rows (axis 0). One free ("se", s, b) group per block for
+    the squeeze width."""
+    groups: List[Dict] = []
+
+    def attach_consumer(group: Dict, s: int, b: int) -> None:
+        """Wire group → block (s, b) whose INPUT carries the group's width."""
+        base = (f"stage{s}", str(b))
+        if spec.has_expand[s][b]:
+            group["consumers"].append((base + ("expand", "w"), IN_AXIS))
+        else:
+            # t=1: the depthwise conv + SE gate operate directly on the
+            # group's channels (cf. the mbv2 dw edge, plus the SE coupling)
+            group["producers"].append((base + ("dw", "w"), OUT_AXIS))
+            group["producers"].append((base + ("se_expand", "w"), 1))
+            group["vectors"].append(base + ("se_expand", "b"))
+            group["bns"].append(base + ("dw_bn",))
+            group["consumers"].append((base + ("project", "w"), IN_AXIS))
+            group["consumers"].append((base + ("se_reduce", "w"), 0))
+
+    stem_group = {
+        "key": ("stem",),
+        "width": spec.stem_width,
+        "producers": [(("stem", "w"), OUT_AXIS)],
+        "bns": [("stem_bn",)],
+        "consumers": [],
+        "vectors": [],
+        "fc_in": False,
+    }
+    attach_consumer(stem_group, 0, 0)
+    groups.append(stem_group)
+
+    for s, depth in enumerate(spec.depths):
+        g = {
+            "key": ("stage", s),
+            "width": spec.stage_widths[s],
+            "producers": [],
+            "bns": [],
+            "consumers": [],
+            "vectors": [],
+            "fc_in": False,
+        }
+        for b in range(depth):
+            base = (f"stage{s}", str(b))
+            g["producers"].append((base + ("project", "w"), OUT_AXIS))
+            g["bns"].append(base + ("project_bn",))
+            if b >= 1:
+                attach_consumer(g, s, b)
+        if s + 1 < len(spec.depths):
+            attach_consumer(g, s + 1, 0)
+        else:
+            g["consumers"].append((("last", "w"), IN_AXIS))
+        groups.append(g)
+
+    for s, depth in enumerate(spec.depths):
+        for b in range(depth):
+            base = (f"stage{s}", str(b))
+            if spec.has_expand[s][b]:
+                groups.append({
+                    "key": ("hidden", s, b),
+                    "width": spec.hidden_widths[s][b],
+                    "producers": [
+                        (base + ("expand", "w"), OUT_AXIS),
+                        (base + ("dw", "w"), OUT_AXIS),
+                        (base + ("se_expand", "w"), 1),
+                    ],
+                    "bns": [base + ("expand_bn",), base + ("dw_bn",)],
+                    "consumers": [
+                        (base + ("project", "w"), IN_AXIS),
+                        (base + ("se_reduce", "w"), 0),
+                    ],
+                    "vectors": [base + ("se_expand", "b")],
+                    "fc_in": False,
+                })
+            groups.append({
+                "key": ("se", s, b),
+                "width": spec.se_widths[s][b],
+                "producers": [(base + ("se_reduce", "w"), 1)],
+                "bns": [],
+                "consumers": [(base + ("se_expand", "w"), 0)],
+                "vectors": [base + ("se_reduce", "b")],
+                "fc_in": False,
+            })
+
+    groups.append({
+        "key": ("last",),
+        "width": spec.last_width,
+        "producers": [(("last", "w"), OUT_AXIS)],
+        "bns": [("last_bn",)],
+        "consumers": [],
+        "vectors": [],
+        "fc_in": True,
+    })
+    return groups
 
 
 def group_slices_mbv2(spec: MobileNetV2Spec) -> List[Dict]:

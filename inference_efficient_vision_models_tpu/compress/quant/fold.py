@@ -59,6 +59,22 @@ def fold_conv_bn(spec: ResNetSpec, params, state) -> Dict:
     return out
 
 
+def fold_effnet(spec, params, state) -> Dict:
+    """EfficientNet conv–BN fold: fold_mbv2's topology plus the SE gate's
+    (bias-carrying, BN-free) fc pair copied through as fp32 — the gate is a
+    tiny (N, C) matmul pair kept in float even on the int8 path."""
+    out = fold_mbv2(spec, params, state)
+    for s, depth in enumerate(spec.depths):
+        for b in range(depth):
+            bp = params[f"stage{s}"][str(b)]
+            for k in ("se_reduce", "se_expand"):
+                out[f"stage{s}"][str(b)][k] = {
+                    "w": np.asarray(bp[k]["w"], np.float32),
+                    "b": np.asarray(bp[k]["b"], np.float32),
+                }
+    return out
+
+
 def fold_mbv2(spec, params, state) -> Dict:
     """MobileNetV2 conv–BN fold (same math; depthwise kernels fold on their
     HWIO output axis exactly like regular convs). Layout mirrors the params

@@ -1,0 +1,363 @@
+"""Quantized EfficientNet: calibration taps, conversion, true-int8 forward.
+
+Extends the static-INT8 pipeline (reference FX graph-mode flow,
+`quantization/main.py:184-242`) to MBConv networks with squeeze-excitation:
+every dense/depthwise conv runs int8×int8→int32 on the MXU with a fused fp32
+epilogue (dequant → bias → SiLU → requant). Two choices specific to this
+family:
+
+* **SiLU requantizes after the nonlinearity** — unlike ReLU6 it is not an
+  affine clamp in the q-domain, so the epilogue computes it in fp32 (VPU,
+  fused into the conv by XLA) before requantizing, which is exactly how a
+  LUT-based int8 SiLU behaves numerically.
+* **The SE gate computes in fp32** (the squeeze path is a per-image (N, C)
+  matmul pair, ≪1% of FLOPs, precision-sensitive sigmoid) but its weights
+  STORE as int8 per-channel — fp32 SE weights were 40% of the artifact —
+  and the gated product re-enters the int8 domain through a calibrated
+  ("…se") observer tap.
+
+Same module API as qresnet/qmobilenet (fold / apply_folded / calibrate /
+convert_static_int8 / apply_int8 / serializable / restore_derived) so the
+QuantizationEngine dispatches per model family.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ...models.efficientnet import EfficientNetSpec
+from . import stemfold
+from .fold import fold_effnet as fold
+from .observers import (
+    ObserverState,
+    dequantize_affine_shifted,
+    minmax_qparams_affine,
+    quantize_affine_shifted,
+    quantize_weight_per_channel,
+)
+
+__all__ = [
+    "fold", "apply_folded", "calibrate", "convert_static_int8", "apply_int8",
+    "serializable", "restore_derived",
+]
+
+
+def _silu(y):
+    return y * jax.nn.sigmoid(y)
+
+
+# --------------------------------------------------------------------------
+# folded fp32 forward (with activation taps for calibration)
+# --------------------------------------------------------------------------
+
+
+def _conv_f32(x, w, b, stride, padding, *, groups=1, act=False):
+    y = lax.conv_general_dilated(
+        x, jnp.asarray(w),
+        (stride, stride), [(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    ) + jnp.asarray(b)
+    return _silu(y) if act else y
+
+
+def _se_f32(h, se_r, se_e):
+    pooled = jnp.mean(h, axis=(1, 2))
+    s = _silu(pooled @ jnp.asarray(se_r["w"]) + jnp.asarray(se_r["b"]))
+    s = jax.nn.sigmoid(s @ jnp.asarray(se_e["w"]) + jnp.asarray(se_e["b"]))
+    return h * s[:, None, None, :]
+
+
+def apply_folded(
+    spec: EfficientNetSpec, folded, x, *, with_taps: bool = False,
+    return_features: bool = False,
+):
+    """fp32 forward on the folded model; optionally returns activation taps
+    (the quantization points) or stops at pooled features."""
+    taps: Dict[str, jax.Array] = {"input": x}
+    t = _conv_f32(x, folded["stem"]["w"], folded["stem"]["b"], 2, 1, act=True)
+    taps["stem"] = t
+
+    for s, depth in enumerate(spec.depths):
+        k = spec.stage_kernels[s]
+        for b in range(depth):
+            blk = folded[f"stage{s}"][str(b)]
+            stride = spec.block_stride(s, b)
+            h = t
+            if spec.has_expand[s][b]:
+                h = _conv_f32(h, blk["expand"]["w"], blk["expand"]["b"], 1, 0, act=True)
+                taps[f"s{s}b{b}e"] = h
+            h = _conv_f32(
+                h, blk["dw"]["w"], blk["dw"]["b"], stride, (k - 1) // 2,
+                groups=int(blk["dw"]["w"].shape[3]), act=True,
+            )
+            taps[f"s{s}b{b}d"] = h
+            h = _se_f32(h, blk["se_reduce"], blk["se_expand"])
+            taps[f"s{s}b{b}se"] = h
+            h = _conv_f32(h, blk["project"]["w"], blk["project"]["b"], 1, 0)
+            if spec.has_residual(s, b):
+                h = h + t
+            taps[f"s{s}b{b}o"] = h
+            t = h
+
+    t = _conv_f32(t, folded["last"]["w"], folded["last"]["b"], 1, 0, act=True)
+    taps["head"] = t
+    feats = jnp.mean(t, axis=(1, 2))
+    taps["feat"] = feats
+    if return_features:
+        return feats
+    logits = feats @ jnp.asarray(folded["fc"]["w"]) + jnp.asarray(folded["fc"]["b"])
+    if with_taps:
+        return logits, taps
+    return logits
+
+
+def calibrate(
+    spec: EfficientNetSpec, folded, batches, *, max_images: int = 256,
+    averaging_constant=0.01,
+) -> Dict[str, ObserverState]:
+    """EMA min/max observers over ≤max_images (reference calibration budget,
+    `quantization/main.py:157`)."""
+    from ...data.pipeline import normalize_images
+
+    tap_minmax = jax.jit(
+        lambda f, x: jax.tree.map(
+            lambda t: (jnp.min(t), jnp.max(t)),
+            apply_folded(spec, f, x, with_taps=True)[1],
+        )
+    )
+    observers: Dict[str, ObserverState] = {}
+    seen = 0
+    for batch in batches:
+        imgs = batch[0] if isinstance(batch, tuple) else batch
+        x = normalize_images(jnp.asarray(imgs))
+        mm = jax.device_get(tap_minmax(folded, x))
+        for name, (lo, hi) in mm.items():
+            observers.setdefault(name, ObserverState.fresh())
+            observers[name] = observers[name].update(lo, hi, averaging_constant)
+        seen += int(imgs.shape[0])
+        if seen >= max_images:
+            break
+    return observers
+
+
+# --------------------------------------------------------------------------
+# conversion
+# --------------------------------------------------------------------------
+
+
+def _qconv_params(w, b, obs_out=None) -> Dict:
+    w_q, w_scale = quantize_weight_per_channel(np.asarray(w), channel_axis=3)
+    d = {
+        "w_q": w_q,
+        "w_scale": w_scale,
+        "w_sum": w_q.astype(np.int32).sum(axis=(0, 1, 2)),
+        "bias": np.asarray(b, np.float32),
+    }
+    if obs_out is not None:
+        scale, zp = minmax_qparams_affine(obs_out.min, obs_out.max)
+        d["out_scale"] = np.float32(scale)
+        d["out_zp"] = np.int32(zp)
+    return d
+
+
+def _q_se(se) -> Dict:
+    """SE (in, out) matrix → int8 weight + per-output-channel scale."""
+    w_q, w_scale = quantize_weight_per_channel(np.asarray(se["w"]), channel_axis=1)
+    return {"w_q": w_q, "w_scale": w_scale, "b": np.asarray(se["b"], np.float32)}
+
+
+def _deq_se(se):
+    return se["w_q"].astype(jnp.float32) * se["w_scale"]
+
+
+def convert_static_int8(
+    spec: EfficientNetSpec, folded, observers, *, fold_input: bool = True,
+    image_size=(224, 224),
+) -> Dict:
+    """Folded fp32 model + calibrated observers → int8 model pytree.
+
+    ``fold_input=True``: ImageNet normalization folds into the stem so the
+    network consumes RAW uint8 (see stemfold; exact input quantization)."""
+    q: Dict = {}
+    s_in, zp_in = minmax_qparams_affine(observers["input"].min, observers["input"].max)
+    q["input"] = {"scale": np.float32(s_in), "zp": np.int32(zp_in)}
+    if fold_input:
+        q["stem"] = stemfold.make_u8_stem(
+            folded["stem"]["w"], folded["stem"]["b"], observers["stem"],
+            stride=2, padding=1, image_size=image_size,
+        )
+    else:
+        q["stem"] = _qconv_params(folded["stem"]["w"], folded["stem"]["b"], observers["stem"])
+
+    for s, depth in enumerate(spec.depths):
+        sname = f"stage{s}"
+        q[sname] = {}
+        for b in range(depth):
+            blk = folded[sname][str(b)]
+            out: Dict = {}
+            if spec.has_expand[s][b]:
+                out["expand"] = _qconv_params(
+                    blk["expand"]["w"], blk["expand"]["b"], observers[f"s{s}b{b}e"]
+                )
+            out["dw"] = _qconv_params(
+                blk["dw"]["w"], blk["dw"]["b"], observers[f"s{s}b{b}d"]
+            )
+            # SE COMPUTES in fp32 but STORES int8 per-channel weights (they
+            # are 40% of the artifact otherwise); dequantized in apply_int8
+            out["se_reduce"] = _q_se(blk["se_reduce"])
+            out["se_expand"] = _q_se(blk["se_expand"])
+            se_scale, se_zp = minmax_qparams_affine(
+                observers[f"s{s}b{b}se"].min, observers[f"s{s}b{b}se"].max
+            )
+            out["se_scale"] = np.float32(se_scale)
+            out["se_zp"] = np.int32(se_zp)
+            out["project"] = _qconv_params(blk["project"]["w"], blk["project"]["b"])
+            o_scale, o_zp = minmax_qparams_affine(
+                observers[f"s{s}b{b}o"].min, observers[f"s{s}b{b}o"].max
+            )
+            out["out_scale"] = np.float32(o_scale)
+            out["out_zp"] = np.int32(o_zp)
+            q[sname][str(b)] = out
+
+    q["last"] = _qconv_params(folded["last"]["w"], folded["last"]["b"], observers["head"])
+
+    f_scale, f_zp = minmax_qparams_affine(observers["feat"].min, observers["feat"].max)
+    w_q, w_scale = quantize_weight_per_channel(np.asarray(folded["fc"]["w"]), channel_axis=1)
+    q["fc"] = {
+        "w_q": w_q,
+        "w_scale": w_scale,
+        "w_sum": w_q.astype(np.int32).sum(axis=0),
+        "bias": np.asarray(folded["fc"]["b"], np.float32),
+        "in_scale": np.float32(f_scale),
+        "in_zp": np.int32(f_zp),
+    }
+    return q
+
+
+def serializable(qmodel: Dict) -> Dict:
+    """Checkpoint view: derived stem offset map stripped."""
+    if "stem" in qmodel and "e" in qmodel["stem"]:
+        stem = {k: v for k, v in qmodel["stem"].items() if k not in stemfold.DERIVED_KEYS}
+        return {**qmodel, "stem": stem}
+    return qmodel
+
+
+def restore_derived(qmodel: Dict) -> Dict:
+    """Inverse of ``serializable`` after msgpack restore."""
+    if "stem" in qmodel and "w_fp" in qmodel["stem"] and "e" not in qmodel["stem"]:
+        return {**qmodel, "stem": stemfold.restore_offsets(qmodel["stem"])}
+    return qmodel
+
+
+# --------------------------------------------------------------------------
+# true-int8 forward
+# --------------------------------------------------------------------------
+
+
+def _qconv_int8(x_s, zp, qc, stride: int, padding: int, groups: int = 1):
+    """int8 conv (dense or depthwise) with affine-input correction → int32.
+
+    Depthwise (groups == C): backend-dependent lowering (ops/dwconv_int8) —
+    k² shifted multiply-adds off-TPU (XLA:CPU's int8 grouped-conv emulation
+    is pathologically slow), the native grouped conv on TPU. Both are
+    integer-exact and interchangeable."""
+    zp_s = (zp - 128).astype(jnp.int8)
+    if padding:
+        x_s = jnp.pad(
+            x_s,
+            ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+            constant_values=zp_s,
+        )
+    if groups > 1:
+        from ...ops.dwconv_int8 import depthwise_conv_int8, prefer_shift_lowering
+
+        if prefer_shift_lowering():
+            acc = depthwise_conv_int8(x_s, qc["w_q"], stride)
+            return acc - (zp - 128) * qc["w_sum"]
+    acc = lax.conv_general_dilated(
+        x_s, qc["w_q"], (stride, stride), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+    return acc - (zp - 128) * qc["w_sum"]
+
+
+def _requant(y, scale, zp):
+    q = jnp.round(y / scale) + zp
+    return (jnp.clip(q, 0, 255) - 128).astype(jnp.int8)
+
+
+def _conv_q(x_s, zp, in_scale, qc, stride, padding, *, groups=1, act, requant):
+    acc = _qconv_int8(x_s, zp, qc, stride, padding, groups=groups)
+    y = acc.astype(jnp.float32) * (in_scale * qc["w_scale"]) + qc["bias"]
+    if act:
+        y = _silu(y)
+    if requant:
+        return _requant(y, qc["out_scale"], qc["out_zp"])
+    return y
+
+
+def apply_int8(spec: EfficientNetSpec, q, x):
+    """Static-INT8 inference → logits. Every conv (incl. depthwise) is int8
+    on-device; SiLU epilogues and the SE gate are fused fp32 VPU ops.
+
+    With a fold_input model (stem carries "e"), ``x`` is RAW uint8 NHWC;
+    otherwise normalized fp32 (affine-quantized here)."""
+    stem = q["stem"]
+    if "e" in stem:
+        y = stemfold.apply_u8_stem(stem, x, stride=2, pad=1, act="silu")
+        cur = _requant(y, stem["out_scale"], stem["out_zp"])
+    else:
+        in_scale, in_zp = q["input"]["scale"], q["input"]["zp"]
+        x_s = quantize_affine_shifted(x, in_scale, in_zp)
+        cur = _conv_q(x_s, in_zp, in_scale, stem, 2, 1, act=True, requant=True)
+    cur_scale, cur_zp = stem["out_scale"], stem["out_zp"]
+
+    for s, depth in enumerate(spec.depths):
+        k = spec.stage_kernels[s]
+        for b in range(depth):
+            blk = q[f"stage{s}"][str(b)]
+            stride = spec.block_stride(s, b)
+            in_s, in_z = cur_scale, cur_zp
+            x_in = cur
+            h, h_s, h_z = x_in, in_s, in_z
+            if "expand" in blk:
+                h = _conv_q(h, h_z, h_s, blk["expand"], 1, 0, act=True, requant=True)
+                h_s, h_z = blk["expand"]["out_scale"], blk["expand"]["out_zp"]
+            h = _conv_q(
+                h, h_z, h_s, blk["dw"], stride, (k - 1) // 2,
+                groups=int(blk["dw"]["w_q"].shape[3]), act=True, requant=True,
+            )
+            h_s, h_z = blk["dw"]["out_scale"], blk["dw"]["out_zp"]
+            # SE gate in fp32 on the dequantized hidden activations
+            h_f = dequantize_affine_shifted(h, h_s, h_z)
+            pooled = jnp.mean(h_f, axis=(1, 2))
+            g = _silu(pooled @ _deq_se(blk["se_reduce"]) + blk["se_reduce"]["b"])
+            g = jax.nn.sigmoid(g @ _deq_se(blk["se_expand"]) + blk["se_expand"]["b"])
+            h = _requant(h_f * g[:, None, None, :], blk["se_scale"], blk["se_zp"])
+            h_s, h_z = blk["se_scale"], blk["se_zp"]
+            h = _conv_q(h, h_z, h_s, blk["project"], 1, 0, act=False, requant=False)
+            if spec.has_residual(s, b):
+                h = h + dequantize_affine_shifted(x_in, in_s, in_z)
+            cur = _requant(h, blk["out_scale"], blk["out_zp"])
+            cur_scale, cur_zp = blk["out_scale"], blk["out_zp"]
+
+    cur = _conv_q(cur, cur_zp, cur_scale, q["last"], 1, 0, act=True, requant=True)
+    feats = jnp.mean(
+        dequantize_affine_shifted(cur, q["last"]["out_scale"], q["last"]["out_zp"]),
+        axis=(1, 2),
+    )
+    fc = q["fc"]
+    f_q = quantize_affine_shifted(feats, fc["in_scale"], fc["in_zp"])
+    acc = lax.dot_general(
+        f_q, fc["w_q"], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    acc = acc - (fc["in_zp"] - 128) * fc["w_sum"]
+    return acc.astype(jnp.float32) * (fc["in_scale"] * fc["w_scale"]) + fc["bias"]

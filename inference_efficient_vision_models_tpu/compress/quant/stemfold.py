@@ -99,7 +99,7 @@ def apply_u8_stem(
 
     ``stride``/``pad`` are passed as Python ints (architectural constants —
     the copies inside ``stem`` exist for serialization/restore only and are
-    tracers under jit). ``act`` ∈ {"relu", "relu6", "none"}."""
+    tracers under jit). ``act`` ∈ {"relu", "relu6", "silu", "none"}."""
     if relu6:
         act = "relu6"
     x_s = (x_u8.astype(jnp.int32) - 128).astype(jnp.int8)
@@ -118,4 +118,6 @@ def apply_u8_stem(
         return jax.nn.relu(y)
     if act == "relu6":
         return jnp.minimum(jax.nn.relu(y), 6.0)
+    if act == "silu":
+        return y * jax.nn.sigmoid(y)
     return y

@@ -121,32 +121,54 @@ def _freeze(nested) -> Tuple[Tuple[int, ...], ...]:
     return tuple(tuple(int(w) for w in st) for st in nested)
 
 
-def mobilenet_v2_spec(num_classes: int = 6, in_chans: int = 3) -> MobileNetV2Spec:
-    """Stock torchvision-compatible 1.0× MobileNetV2."""
+def _make_divisible(v: float, divisor: int = 8) -> int:
+    """torchvision's channel rounding: nearest multiple, never <90% of v."""
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+def mobilenet_v2_spec(
+    name: str = "mobilenet_v2", num_classes: int = 6, in_chans: int = 3
+) -> MobileNetV2Spec:
+    """torchvision-compatible MobileNetV2 descriptor.
+
+    ``name`` may carry a timm-style width-multiplier suffix —
+    ``mobilenet_v2_050`` / ``_075`` / ``_140`` (0.5×/0.75×/1.4×) — applied
+    with torchvision's ``width_mult`` semantics (divisible-by-8 rounding,
+    last conv scales only above 1.0×)."""
+    wm = 1.0
+    suffix = name.removeprefix("mobilenet_v2").lstrip("_")
+    if suffix:
+        wm = int(suffix) / 100.0
+    stem = _make_divisible(32 * wm) if wm != 1.0 else 32
     depths, widths, strides = [], [], []
     hidden: List[List[int]] = []
     expand: List[List[bool]] = []
-    cin = 32
+    cin = stem
     for t, c, n, s in _MBV2_SETTING:
+        if wm != 1.0:
+            c = _make_divisible(c * wm)
         depths.append(n)
         widths.append(c)
         strides.append(s)
         h_row, e_row = [], []
         for b in range(n):
-            h_row.append((cin if b == 0 else c) * t)
+            h_row.append(int(round((cin if b == 0 else c) * t)))
             e_row.append(t != 1)
             cin = c
         hidden.append(h_row)
         expand.append(e_row)
     return MobileNetV2Spec(
-        name="mobilenet_v2",
+        name=name,
         depths=tuple(depths),
         stage_widths=tuple(widths),
         stage_strides=tuple(strides),
         hidden_widths=_freeze(hidden),
         has_expand=tuple(tuple(r) for r in expand),
-        stem_width=32,
-        last_width=1280,
+        stem_width=stem,
+        last_width=_make_divisible(1280 * max(1.0, wm)) if wm != 1.0 else 1280,
         num_classes=num_classes,
         in_chans=in_chans,
     )

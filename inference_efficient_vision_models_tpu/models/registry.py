@@ -10,12 +10,13 @@ from typing import Any, Dict, Tuple, Union
 
 import jax
 
-from . import mobilenet, resnet, vit
+from . import efficientnet, mobilenet, resnet, vit
+from .efficientnet import EfficientNetSpec, efficientnet_spec
 from .mobilenet import MobileNetV2Spec, mobilenet_v2_spec
 from .vit import ViTSpec, vit_spec
 from .widths import ResNetSpec, resnet_spec
 
-SpecLike = Union[str, Dict, ResNetSpec, ViTSpec, MobileNetV2Spec]
+SpecLike = Union[str, Dict, ResNetSpec, ViTSpec, MobileNetV2Spec, EfficientNetSpec]
 
 
 def spec_from_dict(d: Dict):
@@ -23,20 +24,24 @@ def spec_from_dict(d: Dict):
     kind = d.get("__kind__")
     if kind == "vit" or "patch" in d:
         return ViTSpec.from_dict(d)
+    if kind == "efficientnet" or "se_widths" in d:
+        return EfficientNetSpec.from_dict(d)
     if kind == "mobilenet_v2" or "hidden_widths" in d:
         return MobileNetV2Spec.from_dict(d)
     return ResNetSpec.from_dict(d)
 
 
 def make_spec(model: SpecLike, num_classes: int = 6, in_chans: int = 3):
-    if isinstance(model, (ResNetSpec, ViTSpec, MobileNetV2Spec)):
+    if isinstance(model, (ResNetSpec, ViTSpec, MobileNetV2Spec, EfficientNetSpec)):
         return model
     if isinstance(model, dict):
         return spec_from_dict(model)
     if model.startswith("vit_"):
         return vit_spec(model, num_classes=num_classes)
-    if model == "mobilenet_v2":
-        return mobilenet_v2_spec(num_classes=num_classes, in_chans=in_chans)
+    if model.startswith("efficientnet"):
+        return efficientnet_spec(model, num_classes=num_classes, in_chans=in_chans)
+    if model.startswith("mobilenet_v2"):
+        return mobilenet_v2_spec(model, num_classes=num_classes, in_chans=in_chans)
     return resnet_spec(model, num_classes=num_classes, in_chans=in_chans)
 
 
@@ -44,6 +49,8 @@ def model_module(spec):
     """The functional module (init/apply/param_count) for a spec."""
     if isinstance(spec, ViTSpec):
         return vit
+    if isinstance(spec, EfficientNetSpec):
+        return efficientnet
     if isinstance(spec, MobileNetV2Spec):
         return mobilenet
     return resnet
@@ -78,6 +85,15 @@ def create_model(
     if key is None:
         key = jax.random.PRNGKey(0)
     params, state = model_module(spec).init(key, spec)
+    if pretrained and not isinstance(spec, ResNetSpec):
+        import logging
+
+        (logger or logging.getLogger("ievm")).warning(
+            "pretrained=True requested for %s but torchvision-cache import is "
+            "implemented for ResNets only — using RANDOM init (import a "
+            "checkpoint via models.torch_import.load_torch_checkpoint instead)",
+            spec.name,
+        )
     if pretrained and isinstance(spec, ResNetSpec):
         try:
             from .torch_import import load_torchvision_pretrained

@@ -120,6 +120,60 @@ def from_torch_state_dict_mbv2(spec, sd: Dict[str, Any]) -> Tuple[Dict, Dict]:
     return params, state
 
 
+def from_torch_state_dict_effnet(spec, sd: Dict[str, Any]) -> Tuple[Dict, Dict]:
+    """torchvision-style EfficientNet state_dict → our (params, state).
+
+    Naming contract (torchvision `efficientnet_b*`): ``features.0.{0,1}``
+    stem, ``features.{s+1}.{b}.block.{j}`` MBConv where j = expand?, dw, SE
+    (``fc1``/``fc2`` 1×1 convs with bias), project; ``features.8.{0,1}``
+    last conv, ``classifier.1`` head. SE 1×1 conv kernels (O, I, 1, 1)
+    become our (in, out) matrices.
+    """
+    sd = _strip(sd)
+
+    def bn(prefix):
+        p = {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+        s = {"mean": sd[f"{prefix}.running_mean"], "var": sd[f"{prefix}.running_var"]}
+        return p, s
+
+    def se_fc(prefix):
+        w = sd[f"{prefix}.weight"]  # (O, I, 1, 1)
+        return {"w": np.transpose(w[:, :, 0, 0], (1, 0)).copy(), "b": sd[f"{prefix}.bias"]}
+
+    params: Dict[str, Any] = {"stem": {"w": _conv(sd["features.0.0.weight"])}}
+    state: Dict[str, Any] = {}
+    params["stem_bn"], state["stem_bn"] = bn("features.0.1")
+
+    for s_i, depth in enumerate(spec.depths):
+        lp, ls = {}, {}
+        for b in range(depth):
+            pre = f"features.{s_i + 1}.{b}.block"
+            bp, bs = {}, {}
+            if spec.has_expand[s_i][b]:
+                bp["expand"] = {"w": _conv(sd[f"{pre}.0.0.weight"])}
+                bp["expand_bn"], bs["expand_bn"] = bn(f"{pre}.0.1")
+                dw_i, se_i, proj_i = 1, 2, 3
+            else:
+                dw_i, se_i, proj_i = 0, 1, 2
+            bp["dw"] = {"w": _conv(sd[f"{pre}.{dw_i}.0.weight"])}
+            bp["dw_bn"], bs["dw_bn"] = bn(f"{pre}.{dw_i}.1")
+            bp["se_reduce"] = se_fc(f"{pre}.{se_i}.fc1")
+            bp["se_expand"] = se_fc(f"{pre}.{se_i}.fc2")
+            bp["project"] = {"w": _conv(sd[f"{pre}.{proj_i}.0.weight"])}
+            bp["project_bn"], bs["project_bn"] = bn(f"{pre}.{proj_i}.1")
+            lp[str(b)], ls[str(b)] = bp, bs
+        params[f"stage{s_i}"], state[f"stage{s_i}"] = lp, ls
+
+    last_i = len(spec.depths) + 1
+    params["last"] = {"w": _conv(sd[f"features.{last_i}.0.weight"])}
+    params["last_bn"], state["last_bn"] = bn(f"features.{last_i}.1")
+    params["fc"] = {
+        "w": np.transpose(sd["classifier.1.weight"], (1, 0)).copy(),
+        "b": sd["classifier.1.bias"],
+    }
+    return params, state
+
+
 def from_torch_state_dict_vit(spec, sd: Dict[str, Any]) -> Tuple[Dict, Dict]:
     """timm-style ViT state_dict → our (params, state).
 
@@ -169,9 +223,12 @@ def load_torch_checkpoint(spec: ResNetSpec, path: str) -> Tuple[Dict, Dict]:
     sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):  # full pickled module (pruned artifact)
         sd = sd.state_dict()
+    from .efficientnet import EfficientNetSpec
     from .mobilenet import MobileNetV2Spec
     from .vit import ViTSpec
 
+    if isinstance(spec, EfficientNetSpec):
+        return from_torch_state_dict_effnet(spec, sd)
     if isinstance(spec, MobileNetV2Spec):
         return from_torch_state_dict_mbv2(spec, sd)
     if isinstance(spec, ViTSpec):

@@ -26,6 +26,30 @@ def test_spec_roundtrip():
     assert back == spec
 
 
+def test_width_multiplier_variants():
+    """timm-style width-multiplier names resolve through the registry with
+    torchvision ``width_mult`` rounding (divisible-by-8, last conv scales
+    only above 1.0x)."""
+    half = mobilenet_v2_spec("mobilenet_v2_050", num_classes=6)
+    assert half.stem_width == 16
+    assert half.stage_widths == (8, 16, 16, 32, 48, 80, 160)
+    assert half.last_width == 1280  # max(1.0, wm) floor
+    assert half.hidden_widths[1][0] == 48  # round(8 * 6)
+    for s, row in enumerate(half.has_expand):
+        for b, e in enumerate(row):
+            if not e:
+                assert half.hidden_widths[s][b] == half.block_in_width(s, b)
+
+    wide = mobilenet_v2_spec("mobilenet_v2_140", num_classes=6)
+    assert wide.stem_width == 48 and wide.last_width == 1792
+    assert wide.stage_widths == (24, 32, 48, 88, 136, 224, 448)
+
+    spec, params, state = create_model("mobilenet_v2_050", num_classes=6)
+    x = jnp.asarray(np.zeros((1, 32, 32, 3), jnp.float32))
+    logits, _ = mobilenet.apply(spec, params, state, x, train=False)
+    assert logits.shape == (1, 6)
+
+
 def test_forward_shapes_and_param_count():
     spec, params, state = create_model("mobilenet_v2", num_classes=6)
     # matches torch mobilenet_v2(num_classes=6) trainable params (1.0x width)

@@ -252,3 +252,89 @@ class VisionTransformer(nn.Module):
 
 def vit_tiny(num_classes=1000, img_size=224):
     return VisionTransformer(img_size, 16, 192, 12, 3, num_classes)
+
+
+# ----------------------------------------------------------------------------
+# EfficientNet-B0 oracle (torchvision-compatible parameter naming:
+# features.0.{0,1} stem, features.{s}.{b}.block.{j} MBConv stages,
+# features.8.{0,1} last conv, classifier.1 head; SE = block.j.{fc1,fc2})
+# ----------------------------------------------------------------------------
+
+
+class _SqueezeExcitation(nn.Module):
+    def __init__(self, channels, squeeze):
+        super().__init__()
+        self.fc1 = nn.Conv2d(channels, squeeze, 1)
+        self.fc2 = nn.Conv2d(squeeze, channels, 1)
+
+    def forward(self, x):
+        s = x.mean(dim=(2, 3), keepdim=True)
+        s = torch.sigmoid(self.fc2(nn.functional.silu(self.fc1(s))))
+        return x * s
+
+
+def _conv_bn_act(cin, cout, k, stride, groups=1, act=True):
+    mods = [
+        nn.Conv2d(cin, cout, k, stride, (k - 1) // 2, groups=groups, bias=False),
+        nn.BatchNorm2d(cout),
+    ]
+    if act:
+        mods.append(nn.SiLU(inplace=True))
+    return nn.Sequential(*mods)
+
+
+class MBConv(nn.Module):
+    def __init__(self, cin, cout, k, stride, expand_ratio):
+        super().__init__()
+        hidden = _make_divisible(cin * expand_ratio) if expand_ratio != 1 else cin
+        self.use_res_connect = stride == 1 and cin == cout
+        layers = []
+        if expand_ratio != 1:
+            layers.append(_conv_bn_act(cin, hidden, 1, 1))
+        layers += [
+            _conv_bn_act(hidden, hidden, k, stride, groups=hidden),
+            _SqueezeExcitation(hidden, max(1, cin // 4)),
+            _conv_bn_act(hidden, cout, 1, 1, act=False),
+        ]
+        self.block = nn.Sequential(*layers)
+
+    def forward(self, x):
+        out = self.block(x)
+        return x + out if self.use_res_connect else out
+
+
+def _make_divisible(v, divisor=8):
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+class EfficientNet(nn.Module):
+    SETTING = [
+        (1, 16, 1, 1, 3), (6, 24, 2, 2, 3), (6, 40, 2, 2, 5), (6, 80, 3, 2, 3),
+        (6, 112, 3, 1, 5), (6, 192, 4, 2, 5), (6, 320, 1, 1, 3),
+    ]
+
+    def __init__(self, num_classes=1000):
+        super().__init__()
+        features = [_conv_bn_act(3, 32, 3, 2)]
+        cin = 32
+        for t, c, n, s, k in self.SETTING:
+            stage = []
+            for b in range(n):
+                stage.append(MBConv(cin, c, k, s if b == 0 else 1, t))
+                cin = c
+            features.append(nn.Sequential(*stage))
+        features.append(_conv_bn_act(cin, 4 * cin, 1, 1))
+        self.features = nn.Sequential(*features)
+        self.classifier = nn.Sequential(nn.Dropout(0.2), nn.Linear(4 * cin, num_classes))
+
+    def forward(self, x):
+        x = self.features(x)
+        x = x.mean(dim=(2, 3))
+        return self.classifier(x)
+
+
+def efficientnet_b0(num_classes=1000):
+    return EfficientNet(num_classes)
