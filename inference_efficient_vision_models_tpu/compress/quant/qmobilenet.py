@@ -222,7 +222,12 @@ def restore_derived(qmodel: Dict) -> Dict:
 
 
 def _qconv_int8(x_s, zp, qc, stride: int, padding: int, groups: int = 1):
-    """int8 conv (dense or depthwise) with affine-input correction → int32."""
+    """int8 conv (dense or depthwise) with affine-input correction → int32.
+
+    Depthwise (groups == C): backend-dependent lowering (ops/dwconv_int8) —
+    k² shifted multiply-adds off-TPU (XLA:CPU's int8 grouped-conv emulation
+    is pathologically slow), the native grouped conv on TPU. Both are
+    integer-exact and interchangeable."""
     zp_s = (zp - 128).astype(jnp.int8)
     if padding:
         x_s = jnp.pad(
@@ -230,6 +235,12 @@ def _qconv_int8(x_s, zp, qc, stride: int, padding: int, groups: int = 1):
             ((0, 0), (padding, padding), (padding, padding), (0, 0)),
             constant_values=zp_s,
         )
+    if groups > 1:
+        from ...ops.dwconv_int8 import depthwise_conv_int8, prefer_shift_lowering
+
+        if prefer_shift_lowering():
+            acc = depthwise_conv_int8(x_s, qc["w_q"], stride)
+            return acc - (zp - 128) * qc["w_sum"]
     acc = lax.conv_general_dilated(
         x_s, qc["w_q"], (stride, stride), [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -151,3 +151,27 @@ def test_s2d_stem_path_matches_fullres_int8():
     s2d = np.asarray(q_fn(jnp.asarray(space_to_depth_u8(imgs[:4]))))
     np.testing.assert_allclose(s2d, full, rtol=0.02, atol=0.02)
     assert (s2d.argmax(1) == full.argmax(1)).all()
+
+
+@pytest.mark.parametrize("k,stride", [(3, 1), (3, 2), (5, 1), (5, 2)])
+def test_depthwise_int8_shifts_exact(k, stride):
+    """Shift-multiply depthwise int8 (ops/dwconv_int8) is bit-identical to
+    the grouped-conv formulation — integer arithmetic, no tolerance."""
+    from jax import lax
+
+    from inference_efficient_vision_models_tpu.ops.dwconv_int8 import (
+        depthwise_conv_int8,
+    )
+
+    rng = np.random.default_rng(11)
+    c = 24
+    x = jnp.asarray(rng.integers(-128, 128, (2, 17, 17, c)).astype(np.int8))
+    w = jnp.asarray(rng.integers(-128, 128, (k, k, 1, c)).astype(np.int8))
+    want = lax.conv_general_dilated(
+        x, w, (stride, stride), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        preferred_element_type=jnp.int32,
+    )
+    got = depthwise_conv_int8(x, w, stride)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
