@@ -108,6 +108,7 @@ def run_quantize(cfg, logger, data, split):
             "dynamic_int8": lambda: engine.dynamic_quantize(),
             "fp16": lambda: engine.cast_half(jnp.float16),
             "bf16": lambda: engine.cast_half(jnp.bfloat16),
+            "weight_only_int8": lambda: engine.weight_only_quantize(),
         }
         wanted = ("fp32",) + tuple(cfg.methods)
         for method in wanted:

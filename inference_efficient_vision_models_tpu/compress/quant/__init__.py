@@ -4,7 +4,7 @@ from .observers import (
     minmax_qparams_symmetric_per_channel,
 )
 from .engine import QuantizationEngine, quant_module
-from . import qmobilenet, qresnet, qvit
+from . import qeffnet, qmobilenet, qresnet, qvit, wo8
 
 __all__ = [
     "ObserverState",
@@ -14,5 +14,7 @@ __all__ = [
     "quant_module",
     "qresnet",
     "qmobilenet",
+    "qeffnet",
     "qvit",
+    "wo8",
 ]

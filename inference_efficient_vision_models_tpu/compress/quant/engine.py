@@ -41,9 +41,14 @@ def quant_module(spec):
     models.registry.model_module. Each family module exposes the same API:
     fold / apply_folded / calibrate / convert_static_int8 / apply_int8 /
     serializable / restore_derived."""
+    from ...models.efficientnet import EfficientNetSpec
     from ...models.mobilenet import MobileNetV2Spec
     from ...models.vit import ViTSpec
 
+    if isinstance(spec, EfficientNetSpec):
+        from . import qeffnet
+
+        return qeffnet
     if isinstance(spec, MobileNetV2Spec):
         return qmobilenet
     if isinstance(spec, ViTSpec):
@@ -162,6 +167,26 @@ class QuantizationEngine:
 
         fn = jax.jit(fwd)
         return model, functools.partial(fn, model)
+
+    def weight_only_quantize(self, dtype=jnp.bfloat16):
+        """W8A16: int8 per-channel weight storage, bf16 compute (see wo8).
+        The TPU-native serving mode for families whose full-int8 path is
+        bandwidth-bound below bf16 (MBConv nets): bf16 throughput at ~3.9×
+        weight compression."""
+        import functools
+
+        from . import wo8
+
+        model = device_materialize(wo8.convert_weight_only(self.folded))
+        spec, qmod = self.spec, self.q
+
+        def fwd(m, x_u8):
+            f = wo8.dequantize(m, dtype)
+            return qmod.apply_folded(
+                spec, f, normalize_images(x_u8, dtype)
+            ).astype(jnp.float32)
+
+        return model, functools.partial(jax.jit(fwd), model)
 
     def cast_half(self, dtype=jnp.float16):
         """fp16 (parity) / bf16 (TPU-native) cast of the folded model."""

@@ -52,6 +52,16 @@ def load_quantized(fold_dir: str, method: str):
         model = serialization.msgpack_restore(f.read())
     model = device_materialize(qmod.restore_derived(model))
 
+    from .compress.quant import wo8
+
+    if wo8.is_weight_only(model):  # W8A16: int8 weights, bf16 compute
+        def wo_fwd(m, x_u8):
+            f = wo8.dequantize(m, jnp.bfloat16)
+            return qmod.apply_folded(
+                spec, f, normalize_images(x_u8, jnp.bfloat16)
+            ).astype(jnp.float32)
+
+        return spec, model, functools.partial(jax.jit(wo_fwd), model), None
     if "input" in model:  # static int8
         fn = jax.jit(lambda q, x: qmod.apply_int8(spec, q, x))
         # only the ResNet 7×7 stem uses the space-to-depth host layout

@@ -198,3 +198,72 @@ def test_static_artifact_roundtrip_strips_derived():
     assert (a.argmax(1) == b.argmax(1)).all()
     # stripped artifact is ~int8-sized: much smaller than with offsets
     assert len(blob) < eng.size_mb(eng.folded) * 1e6 / 3.0
+
+
+# ----------------------------------------------------------------------------
+# weight-only int8 (W8A16) — TPU-native serving mode
+# ----------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("model_name", ["resnet18", "mobilenet_v2", "vit"])
+def test_weight_only_int8_close_and_roundtrips(model_name, tmp_path):
+    """W8A16 (compress/quant/wo8): int8 per-channel weights + bf16 compute
+    track the folded fp32 forward; the artifact round-trips msgpack and the
+    serving loader auto-detects it."""
+    import logging
+    import json
+    import os
+
+    from flax import serialization
+
+    from inference_efficient_vision_models_tpu.compress.quant import wo8
+    from inference_efficient_vision_models_tpu.compress.quant.engine import (
+        QuantizationEngine,
+    )
+    from inference_efficient_vision_models_tpu.data.pipeline import normalize_images
+    from inference_efficient_vision_models_tpu.models import create_model
+    from inference_efficient_vision_models_tpu.serving import load_quantized
+
+    class Cfg:
+        batch_size = 8
+        calibration_images = 16
+        DEBUG_MODE = False
+        image_size = (64, 64)
+        compute_dtype = "float32"
+
+    if model_name == "vit":
+        from inference_efficient_vision_models_tpu.models.vit import ViTSpec
+
+        spec = ViTSpec(
+            name="vit_test", patch=8, dim=64, depth=2, heads=2, mlp_ratio=2.0,
+            num_classes=6, image_size=64,
+        )
+        spec, params, state = create_model(spec, num_classes=6)
+    else:
+        spec, params, state = create_model(model_name, num_classes=6)
+    eng = QuantizationEngine(Cfg(), spec, params, state, logging.getLogger("q"))
+    model, fn = eng.weight_only_quantize()
+    assert wo8.is_weight_only(model)
+
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 255, (8, 64, 64, 3)).astype(np.uint8)
+    got = np.asarray(fn(jnp.asarray(imgs)))
+    ref = np.asarray(
+        jax.jit(
+            lambda m, x: eng.q.apply_folded(spec, m, normalize_images(x))
+        )(eng.folded, jnp.asarray(imgs))
+    )
+    assert (got.argmax(1) == ref.argmax(1)).mean() >= 0.75
+    # ~3.9x smaller weights than the fp32 folded model
+    assert eng.size_mb(model) < eng.size_mb(eng.folded) / 3.0
+
+    fold_dir = str(tmp_path)
+    with open(os.path.join(fold_dir, "model_weight_only_int8.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(model)))
+    with open(os.path.join(fold_dir, "spec.json"), "w") as f:
+        json.dump(spec.to_dict(), f)
+    spec2, model2, fn2, pre = load_quantized(fold_dir, "weight_only_int8")
+    assert pre is None
+    np.testing.assert_allclose(
+        np.asarray(fn2(jnp.asarray(imgs))), got, rtol=2e-2, atol=2e-2
+    )
