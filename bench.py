@@ -61,14 +61,21 @@ def _timeit(fn, *args, iters=4):
 
 
 def _find_artifact():
-    """Newest stage-4 static-int8 artifact, if any."""
+    """Newest stage-4 static-int8 RESNET artifact, if any (the headline
+    metric is the reference's flagship config — pruned ResNet18; other
+    family artifacts may coexist under output/)."""
     pats = sorted(
         glob.glob("output/quantization/*/fold_*/model_static_int8.msgpack"),
         key=os.path.getmtime,
         reverse=True,
     )
     for p in pats:
-        if os.path.exists(os.path.join(os.path.dirname(p), "spec.json")):
+        spec_path = os.path.join(os.path.dirname(p), "spec.json")
+        if not os.path.exists(spec_path):
+            continue
+        with open(spec_path) as f:
+            kind = json.load(f).get("__kind__", "resnet")
+        if kind == "resnet":
             return os.path.dirname(p)
     return None
 
