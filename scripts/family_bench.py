@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Family x method serving sweep on one TPU chip.
+
+Reproduces REPORT.md's "Family x method serving" table: each model family
+(~10% structured-pruned, round_to=8) timed bf16 / weight-only-int8 (W8A16) /
+static-int8 with fori_loop-CHAINED programs at batch 256 (dispatch
+amortized; see scripts/device_time.py for why per-call timing over the axon
+tunnel is unusable). Sizes are serialized-artifact MB.
+
+Usage: python scripts/family_bench.py
+"""
+import sys, time, logging
+sys.path.insert(0, ".")
+import jax, jax.numpy as jnp, numpy as np
+from jax import lax
+from inference_efficient_vision_models_tpu.models import create_model
+from inference_efficient_vision_models_tpu.compress.prune import prune_model
+from inference_efficient_vision_models_tpu.compress.quant.engine import QuantizationEngine
+from inference_efficient_vision_models_tpu.compress.quant import wo8
+from inference_efficient_vision_models_tpu.data.synthetic import make_synthetic_neudet
+from inference_efficient_vision_models_tpu.ops.space_to_depth import space_to_depth_u8
+from inference_efficient_vision_models_tpu.models.widths import ResNetSpec
+from inference_efficient_vision_models_tpu.utils import device_materialize, enable_compilation_cache
+enable_compilation_cache()
+
+class Cfg:
+    batch_size = 64; calibration_images = 64; DEBUG_MODE = False
+    image_size = (224, 224); compute_dtype = "bfloat16"
+
+def chain(body, k=16):
+    def b(i, x):
+        out = body(x)
+        return x + (jnp.sum(out.astype(jnp.float32)) > 0).astype(x.dtype)
+    return jax.jit(lambda x: lax.fori_loop(0, k, b, x))
+
+def timeit(fn, x, k=16, iters=4):
+    r = fn(x); jax.block_until_ready(r)
+    best = 1e9
+    for _ in range(iters):
+        t0 = time.perf_counter(); jax.block_until_ready(fn(x))
+        best = min(best, time.perf_counter() - t0)
+    return best / k * 1e3
+
+B = 256
+x_np = np.random.default_rng(0).integers(0, 255, (B, 224, 224, 3)).astype(np.uint8)
+for name in ("resnet18", "mobilenet_v2", "efficientnet_b0"):
+    with jax.default_device(jax.devices("cpu")[0]):
+        spec, params, state = create_model(name, num_classes=6)
+        pspec, pp, ps = prune_model(spec, params, state, ratio=0.11 if name == "resnet18" else 0.1,
+                                    method="l2", round_to=8)
+    eng = QuantizationEngine(Cfg(), pspec, pp, ps, logging.getLogger("v"))
+    qmod = eng.q
+    qmodel, _ = eng.static_quantize(make_synthetic_neudet(32, 224, seed=0))
+    qmodel = device_materialize(qmodel)
+    wmodel = device_materialize(wo8.convert_weight_only(eng.folded))
+    fold16 = device_materialize(jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, eng.folded))
+    if isinstance(pspec, ResNetSpec):
+        x_int8 = device_materialize(jnp.asarray(space_to_depth_u8(x_np)))
+    else:
+        x_int8 = device_materialize(jnp.asarray(x_np))
+    xf = device_materialize(jnp.asarray(x_np).astype(jnp.float32))
+    rows = {}
+    rows["bf16"] = timeit(chain(
+        lambda xx: qmod.apply_folded(pspec, fold16, xx.astype(jnp.bfloat16) / 255.0)), xf)
+    rows["w8a16"] = timeit(chain(
+        lambda xx: qmod.apply_folded(pspec, wo8.dequantize(wmodel, jnp.bfloat16),
+                                     xx.astype(jnp.bfloat16) / 255.0)), xf)
+    rows["int8"] = timeit(chain(lambda xx: qmod.apply_int8(pspec, qmodel, xx)), x_int8)
+    sizes = {"bf16": eng.size_mb(fold16), "w8a16": eng.size_mb(wmodel),
+             "int8": eng.size_mb(qmodel), "fp32": eng.size_mb(eng.folded)}
+    for m, ms in rows.items():
+        print(f"{name:16s} {m:6s} {ms:7.2f} ms/b{B}  {B/ms*1e3:10,.0f} img/s  {sizes[m]:6.2f} MB")
+    print(f"{name:16s} fp32 size {sizes['fp32']:.2f} MB")
