@@ -11,6 +11,9 @@ test-fast:       ## unit tests only (~4.5 min)
 bench:           ## headline serving benchmark on the TPU chip (one JSON line)
 	python bench.py
 
+bench-family:    ## per-family serving sweep (bf16 / W8A16 / static int8)
+	python scripts/family_bench.py
+
 pipeline:        ## full 4-stage pipeline, 5-fold, synthetic data, on device
 	python teacher_training/main.py       choice=1 experiment_name=exp num_folds=5 synthetic_size=600 batch_size=32 pretrained=False epochs=8 learning_rate=3e-4
 	python knowledge_distillation/main.py choice=1 experiment_name=exp teacher_exp_name=exp num_folds=5 synthetic_size=600 batch_size=32 pretrained=False epochs=8 learning_rate=3e-4
