@@ -201,3 +201,33 @@ def test_train_step_with_schedule_runs():
     p, s, o, m = step(params, state, adamw_init(params), batch)
     assert np.isfinite(float(m["loss"]))
     assert int(o.step) == 1
+
+
+def test_kd_step_cross_family():
+    """KD pairs any teacher family with any student family (the reference's
+    create_model accepts arbitrary backbones for either role,
+    `knowledge_distillation/utils.py:21-50`): ResNet18 teacher distilling
+    into a MobileNetV2 student, one jitted step, finite loss, params move."""
+    import jax
+
+    from inference_efficient_vision_models_tpu.models import create_model
+    from inference_efficient_vision_models_tpu.train.optim import adamw_init
+    from inference_efficient_vision_models_tpu.train.steps import make_kd_train_step
+
+    t_spec, t_params, t_state = create_model("resnet18", num_classes=6)
+    s_spec, s_params, s_state = create_model("mobilenet_v2", num_classes=6)
+    step = make_kd_train_step(
+        s_spec, t_spec, alpha=0.5, temperature=4.0, learning_rate=1e-3,
+        compute_dtype="float32",
+    )
+    rng = np.random.default_rng(0)
+    batch = (
+        rng.integers(0, 255, (4, 32, 32, 3)).astype(np.uint8),
+        rng.integers(0, 6, 4).astype(np.int32),
+        np.ones(4, np.float32),
+    )
+    before = np.asarray(jax.device_get(s_params["stem"]["w"]))  # step donates its inputs
+    p2, _, _, m = step(s_params, s_state, adamw_init(s_params), t_params, t_state, batch)
+    assert np.isfinite(float(m["loss"])) and np.isfinite(float(m["kd"]))
+    after = np.asarray(jax.device_get(p2["stem"]["w"]))
+    assert not np.allclose(before, after)
