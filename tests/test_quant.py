@@ -205,7 +205,9 @@ def test_static_artifact_roundtrip_strips_derived():
 # ----------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("model_name", ["resnet18", "mobilenet_v2", "vit"])
+@pytest.mark.parametrize(
+    "model_name", ["resnet18", "mobilenet_v2", "efficientnet_b0", "vit"]
+)
 def test_weight_only_int8_close_and_roundtrips(model_name, tmp_path):
     """W8A16 (compress/quant/wo8): int8 per-channel weights + bf16 compute
     track the folded fp32 forward; the artifact round-trips msgpack and the
