@@ -267,7 +267,10 @@ def main():
     ref = np.asarray(ref_fn(folded, jnp.asarray(test_imgs[:64]))).argmax(1)
     agree = float((preds[:64] == ref).mean())
 
-    from inference_efficient_vision_models_tpu.metrics.profile import model_size_bytes
+    from inference_efficient_vision_models_tpu.metrics.profile import (
+        count_params,
+        model_size_bytes,
+    )
 
     print(json.dumps({
         "metric": "int8_pruned_resnet18_throughput",
@@ -293,7 +296,7 @@ def main():
         "source": source,
         "int8_size_mb": round(model_size_bytes(qresnet.serializable(
             jax.device_get(qmodel))) / 1e6, 2),
-        "params_M": round(model_size_bytes(jax.device_get(folded)) / 4e6, 3),
+        "params_M": round(count_params(jax.device_get(folded)) / 1e6, 3),
     }))
 
 

@@ -65,7 +65,9 @@ def dequantize(model, dtype=jnp.bfloat16):
 
     def d(x):
         if _is_qleaf(x):
-            return x["q"].astype(dtype) * x["s"].astype(dtype)
+            # scale application stays fp32 (XLA fuses the cast into the
+            # consuming matmul); bf16 scales cost ~0.4% extra weight error
+            return (x["q"].astype(jnp.float32) * x["s"]).astype(dtype)
         x = jnp.asarray(x)
         return x.astype(dtype) if x.dtype == jnp.float32 else x
 

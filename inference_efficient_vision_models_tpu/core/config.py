@@ -226,7 +226,10 @@ class QuantConfig(BaseConfig):
         # dead — here `calibration_images` is the real knob.
         self.num_calibration_batches = 10
         self.calibration_images = 256
-        self.methods = ("static_int8", "dynamic_int8", "fp16")
+        # weight_only_int8 (W8A16) is the documented serving pick for the
+        # MBConv families (README/PARITY), so a default stage-4 run must
+        # produce its artifact for Predictor.from_artifact.
+        self.methods = ("static_int8", "dynamic_int8", "fp16", "weight_only_int8")
         self.fold_id = 0
         self.teacher_exp_path: Optional[str] = None
         self.student_exp_path: Optional[str] = None

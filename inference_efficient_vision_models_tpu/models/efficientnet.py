@@ -27,11 +27,12 @@ additionally slices se_reduce's INPUT rows and se_expand's OUTPUT columns +
 bias; the SE squeeze width is its own free prunable group.
 
 Stochastic depth (torchvision applies row-mode DropPath with a linearly
-ramped rate in training) is intentionally omitted: the shared train steps
+ramped rate in training) and the classifier Dropout(p=0.2) torchvision
+inserts before the head are intentionally omitted: the shared train steps
 are deterministic by design (no rng plumbing; same treatment as ViT
-dropout), and at NEU-DET scale it is a regularizer the reference pipeline
-never exercises. Eval-time semantics are identical (DropPath is the
-identity in eval).
+dropout), and at NEU-DET scale they are regularizers the reference pipeline
+never exercises. Eval-time semantics are identical (both are the identity
+in eval).
 """
 
 from __future__ import annotations

@@ -23,9 +23,7 @@ from inference_efficient_vision_models_tpu.models.widths import ResNetSpec
 from inference_efficient_vision_models_tpu.utils import device_materialize, enable_compilation_cache
 enable_compilation_cache()
 
-class Cfg:
-    batch_size = 64; calibration_images = 64; DEBUG_MODE = False
-    image_size = (224, 224); compute_dtype = "bfloat16"
+from inference_efficient_vision_models_tpu.core.config import QuantConfig
 
 def chain(body, k=16):
     def b(i, x):
@@ -33,13 +31,18 @@ def chain(body, k=16):
         return x + (jnp.sum(out.astype(jnp.float32)) > 0).astype(x.dtype)
     return jax.jit(lambda x: lax.fori_loop(0, k, b, x))
 
-def timeit(fn, x, k=16, iters=4):
-    r = fn(x); jax.block_until_ready(r)
-    best = 1e9
+def timeit(fn, x, k=16, iters=5):
+    # median over >=5 rounds, fetching one scalar per round to force
+    # end-to-end delivery — block_until_ready alone can return absurdly
+    # early over the axon tunnel (see verify skill / scripts/device_time.py)
+    r = fn(x); float(np.asarray(r).ravel()[0])
+    times = []
     for _ in range(iters):
-        t0 = time.perf_counter(); jax.block_until_ready(fn(x))
-        best = min(best, time.perf_counter() - t0)
-    return best / k * 1e3
+        t0 = time.perf_counter()
+        r = fn(x)
+        float(np.asarray(r).ravel()[0])
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) / k * 1e3
 
 B = 256
 x_np = np.random.default_rng(0).integers(0, 255, (B, 224, 224, 3)).astype(np.uint8)
@@ -48,7 +51,8 @@ for name in ("resnet18", "mobilenet_v2", "efficientnet_b0"):
         spec, params, state = create_model(name, num_classes=6)
         pspec, pp, ps = prune_model(spec, params, state, ratio=0.11 if name == "resnet18" else 0.1,
                                     method="l2", round_to=8)
-    eng = QuantizationEngine(Cfg(), pspec, pp, ps, logging.getLogger("v"))
+    cfg = QuantConfig(batch_size=64, calibration_images=64)
+    eng = QuantizationEngine(cfg, pspec, pp, ps, logging.getLogger("v"))
     qmod = eng.q
     qmodel, _ = eng.static_quantize(make_synthetic_neudet(32, 224, seed=0))
     qmodel = device_materialize(qmodel)
