@@ -104,7 +104,7 @@ def run_quantize(cfg, logger, data, split):
 
         methods = {
             "fp32": lambda: (engine.folded, None),
-            "static_int8": lambda: engine.static_quantize(calib),
+            "static_int8": lambda: engine.static_quantize(calib, train_data=train_d),
             "dynamic_int8": lambda: engine.dynamic_quantize(),
             "fp16": lambda: engine.cast_half(jnp.float16),
             "bf16": lambda: engine.cast_half(jnp.bfloat16),

@@ -112,17 +112,41 @@ class QuantizationEngine:
     # uint8 NHWC images; preprocessing is part of each jitted graph (for the
     # static-int8 path it is folded into the stem conv entirely).
 
-    def static_quantize(self, calib_data: Tuple[np.ndarray, np.ndarray]):
-        """Calibrate on ≤cfg.calibration_images then convert to int8."""
+    def static_quantize(
+        self,
+        calib_data: Tuple[np.ndarray, np.ndarray],
+        train_data: Tuple[np.ndarray, np.ndarray] | None = None,
+    ):
+        """Calibrate on ≤cfg.calibration_images then convert to int8.
+        The range estimator comes from cfg.observer
+        ('minmax' | 'percentile' | 'entropy', see calib.calibrate_taps).
+        With cfg.qat_epochs > 0 and ``train_data``, a quantization-aware
+        fine-tune runs between calibration and conversion (see qat.py)."""
         loader = Batches(calib_data[0], calib_data[1], self.cfg.batch_size)
         observers = self.q.calibrate(
             self.spec,
             self.folded,
             loader,
             max_images=self.cfg.calibration_images,
+            observer=getattr(self.cfg, "observer", "minmax"),
+            percentile=getattr(self.cfg, "percentile", 99.99),
         )
+        folded = self.folded
+        qat_epochs = int(getattr(self.cfg, "qat_epochs", 0))
+        if qat_epochs > 0 and train_data is not None:
+            from .qat import qat_finetune
+
+            self.logger.info("QAT fine-tune: %d epoch(s)", qat_epochs)
+            folded = qat_finetune(
+                self.spec, self.q, folded, observers, train_data,
+                epochs=qat_epochs,
+                lr=float(getattr(self.cfg, "qat_lr", 1e-5)),
+                batch_size=self.cfg.batch_size,
+                logger=self.logger,
+                debug=self.cfg.DEBUG_MODE,
+            )
         qmodel = self.q.convert_static_int8(
-            self.spec, self.folded, observers,
+            self.spec, folded, observers,
             image_size=tuple(self.cfg.image_size),
         )
         qmodel = device_materialize(qmodel)

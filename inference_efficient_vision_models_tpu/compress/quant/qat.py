@@ -1,0 +1,147 @@
+"""Quantization-aware fine-tuning (QAT) on the folded model.
+
+The reference's static-int8 path is post-training-only
+(`/root/reference/quantization/main.py:184-242`), and its published table
+eats a −1.1% accuracy drop on EfficientNet
+(`/root/reference/README.md:62`). QAT closes that gap: after calibration,
+the folded fp32 model is fine-tuned for a few epochs with the int8 forward
+*simulated* in fp32 — every activation tap fake-quantized to its frozen
+observer range and every weight fake-quantized per-channel symmetric —
+using straight-through-estimator gradients. The fine-tuned folded weights
+then go through the ordinary ``convert_static_int8`` with the SAME
+observers, so the deployed int8 program is exactly the one that was
+trained against.
+
+Design notes (TPU):
+* One jitted train step: normalize → fake-quant forward → CE → backward →
+  AdamW. The fake-quant ops are elementwise round/clip pairs that XLA fuses
+  into the surrounding convs — a QAT step costs ~the same as a plain
+  fine-tune step.
+* The activation hook rides the family modules' ``apply_folded(...,
+  tap_fn=…)`` — the tap set IS the conversion's quantization-point set, so
+  simulation and deployment can't drift apart.
+* Observer ranges stay frozen during QAT (standard practice; the weights
+  adapt to the grid, not the grid to the weights).
+* Weight fake-quant recomputes per-channel scales from the *current*
+  weights each step (jittable mirror of
+  ``observers.quantize_weight_per_channel``), matching what conversion
+  will do to the final weights.
+* The "input" tap is NOT fake-quantized by default: the deployed stems
+  fold normalization and consume raw uint8 exactly (stemfold), so the
+  input carries no extra quantization noise to train against.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .observers import EPS, ObserverState, minmax_qparams_affine
+
+__all__ = ["fake_quant_act", "fake_quant_weight", "fq_weights", "qat_finetune"]
+
+
+def fake_quant_act(x, scale: float, zp: int):
+    """Simulated quint8 affine quantization with an STE gradient.
+
+    Forward: clip to the representable window, round to the grid. Backward:
+    identity inside the window, zero outside (the clip's own gradient)."""
+    lo = (0 - zp) * scale
+    hi = (255 - zp) * scale
+    xc = jnp.clip(x, lo, hi)
+    deq = jnp.round(xc / scale) * scale
+    return xc + lax.stop_gradient(deq - xc)
+
+
+def fake_quant_weight(w, channel_axis: int):
+    """Simulated qint8 symmetric per-channel weight quantization (STE).
+
+    Scales are recomputed from the live weights each call — the jittable
+    mirror of ``observers.quantize_weight_per_channel`` (same 127.5 divisor,
+    round-half-to-even)."""
+    axes = tuple(i for i in range(w.ndim) if i != channel_axis)
+    amax = jnp.max(jnp.abs(w), axis=axes, keepdims=True)
+    scale = jnp.maximum(amax / 127.5, EPS)
+    deq = jnp.clip(jnp.round(w / scale), -128, 127) * scale
+    return w + lax.stop_gradient(deq - w)
+
+
+def fq_weights(folded):
+    """Fake-quantize every weight leaf of a folded pytree (differentiable).
+
+    Channel-axis convention mirrors the conversions: 4D conv kernels (HWIO,
+    incl. depthwise) → axis 3; 2D matrices (dense / SE, stored (in, out)) →
+    axis 1. Biases, LN/embedding vectors, etc. pass through untouched."""
+
+    def fq_node(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k == "w" and hasattr(v, "ndim") and v.ndim == 4:
+                    out[k] = fake_quant_weight(jnp.asarray(v), 3)
+                elif k == "w" and hasattr(v, "ndim") and v.ndim == 2:
+                    out[k] = fake_quant_weight(jnp.asarray(v), 1)
+                else:
+                    out[k] = fq_node(v)
+            return out
+        return node
+
+    return fq_node(folded)
+
+
+def qat_finetune(
+    spec, qmod, folded, observers: Dict[str, ObserverState], train_data,
+    *, epochs: int = 1, lr: float = 1e-5, batch_size: int = 32,
+    fq_input: bool = False, logger=None, debug: bool = False,
+):
+    """Fine-tune the folded model against the simulated int8 forward.
+
+    Returns a new folded pytree (np.float32 leaves, same structure) ready
+    for ``convert_static_int8`` with the same ``observers``."""
+    from ...data.pipeline import Batches, normalize_images
+    from ...train.losses import cross_entropy
+    from ...train.optim import adamw_init, adamw_update
+
+    fq_params = {
+        name: minmax_qparams_affine(o.min, o.max) for name, o in observers.items()
+    }
+
+    def tap_fn(name, t):
+        if name == "input" and not fq_input:
+            return t
+        s, zp = fq_params[name]
+        return fake_quant_act(t, s, zp)
+
+    params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), folded)
+    opt = adamw_init(params)
+
+    def loss_fn(f, x, labels, mask):
+        logits = qmod.apply_folded(spec, fq_weights(f), x, tap_fn=tap_fn)
+        return cross_entropy(logits, labels, mask)
+
+    @jax.jit
+    def step(f, opt_state, imgs_u8, labels, mask):
+        x = normalize_images(imgs_u8)
+        loss, grads = jax.value_and_grad(loss_fn)(f, x, labels, mask)
+        # QAT is a repair pass, not training: no weight decay (it would
+        # fight the frozen activation grid), small constant lr
+        f2, opt2 = adamw_update(f, grads, opt_state, lr=lr, weight_decay=0.0)
+        return f2, opt2, loss
+
+    for epoch in range(int(epochs)):
+        loader = Batches(
+            train_data[0], train_data[1], batch_size, shuffle=True, seed=epoch
+        )
+        for i, (imgs, labels, mask) in enumerate(loader):
+            if debug and i == 2:
+                break
+            params, opt, loss = step(
+                params, opt, jnp.asarray(imgs), jnp.asarray(labels), jnp.asarray(mask)
+            )
+        if logger is not None:
+            logger.info("QAT epoch %d/%d: loss %.4f", epoch + 1, epochs, float(loss))
+    return jax.tree.map(lambda a: np.asarray(a, np.float32), jax.device_get(params))

@@ -75,13 +75,22 @@ def _se_f32(h, se_r, se_e):
 
 def apply_folded(
     spec: EfficientNetSpec, folded, x, *, with_taps: bool = False,
-    return_features: bool = False,
+    return_features: bool = False, tap_fn=None,
 ):
     """fp32 forward on the folded model; optionally returns activation taps
-    (the quantization points) or stops at pooled features."""
-    taps: Dict[str, jax.Array] = {"input": x}
+    (the quantization points) or stops at pooled features.
+
+    ``tap_fn(name, t) -> t'`` intercepts every quantization point and its
+    return value re-enters the flow (QAT fake-quant hook, see qat.py)."""
+    taps: Dict[str, jax.Array] = {}
+
+    def tap(name, t):
+        taps[name] = t
+        return tap_fn(name, t) if tap_fn is not None else t
+
+    x = tap("input", x)
     t = _conv_f32(x, folded["stem"]["w"], folded["stem"]["b"], 2, 1, act=True)
-    taps["stem"] = t
+    t = tap("stem", t)
 
     for s, depth in enumerate(spec.depths):
         k = spec.stage_kernels[s]
@@ -91,24 +100,24 @@ def apply_folded(
             h = t
             if spec.has_expand[s][b]:
                 h = _conv_f32(h, blk["expand"]["w"], blk["expand"]["b"], 1, 0, act=True)
-                taps[f"s{s}b{b}e"] = h
+                h = tap(f"s{s}b{b}e", h)
             h = _conv_f32(
                 h, blk["dw"]["w"], blk["dw"]["b"], stride, (k - 1) // 2,
                 groups=int(blk["dw"]["w"].shape[3]), act=True,
             )
-            taps[f"s{s}b{b}d"] = h
+            h = tap(f"s{s}b{b}d", h)
             h = _se_f32(h, blk["se_reduce"], blk["se_expand"])
-            taps[f"s{s}b{b}se"] = h
+            h = tap(f"s{s}b{b}se", h)
             h = _conv_f32(h, blk["project"]["w"], blk["project"]["b"], 1, 0)
             if spec.has_residual(s, b):
                 h = h + t
-            taps[f"s{s}b{b}o"] = h
+            h = tap(f"s{s}b{b}o", h)
             t = h
 
     t = _conv_f32(t, folded["last"]["w"], folded["last"]["b"], 1, 0, act=True)
-    taps["head"] = t
+    t = tap("head", t)
     feats = jnp.mean(t, axis=(1, 2))
-    taps["feat"] = feats
+    feats = tap("feat", feats)
     if return_features:
         return feats
     logits = feats @ jnp.asarray(folded["fc"]["w"]) + jnp.asarray(folded["fc"]["b"])
@@ -119,31 +128,17 @@ def apply_folded(
 
 def calibrate(
     spec: EfficientNetSpec, folded, batches, *, max_images: int = 256,
-    averaging_constant=0.01,
+    averaging_constant=0.01, **observer_kw,
 ) -> Dict[str, ObserverState]:
-    """EMA min/max observers over ≤max_images (reference calibration budget,
-    `quantization/main.py:157`)."""
-    from ...data.pipeline import normalize_images
+    """Activation-range calibration over ≤max_images (reference budget,
+    `quantization/main.py:157`); estimator selectable via observer_kw
+    (observer='minmax'|'percentile'|'entropy', see calib.calibrate_taps)."""
+    from .calib import calibrate_taps
 
-    tap_minmax = jax.jit(
-        lambda f, x: jax.tree.map(
-            lambda t: (jnp.min(t), jnp.max(t)),
-            apply_folded(spec, f, x, with_taps=True)[1],
-        )
+    return calibrate_taps(
+        apply_folded, spec, folded, batches, max_images=max_images,
+        averaging_constant=averaging_constant, **observer_kw,
     )
-    observers: Dict[str, ObserverState] = {}
-    seen = 0
-    for batch in batches:
-        imgs = batch[0] if isinstance(batch, tuple) else batch
-        x = normalize_images(jnp.asarray(imgs))
-        mm = jax.device_get(tap_minmax(folded, x))
-        for name, (lo, hi) in mm.items():
-            observers.setdefault(name, ObserverState.fresh())
-            observers[name] = observers[name].update(lo, hi, averaging_constant)
-        seen += int(imgs.shape[0])
-        if seen >= max_images:
-            break
-    return observers
 
 
 # --------------------------------------------------------------------------

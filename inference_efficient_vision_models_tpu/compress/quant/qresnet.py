@@ -63,13 +63,24 @@ def _max_pool(x, init):
 
 
 def apply_folded(
-    spec: ResNetSpec, folded, x, *, with_taps: bool = False, return_features: bool = False
+    spec: ResNetSpec, folded, x, *, with_taps: bool = False,
+    return_features: bool = False, tap_fn=None,
 ):
     """fp32 forward on the folded model; optionally returns activation taps
-    or stops at the pooled features (pre-classifier)."""
-    taps: Dict[str, jax.Array] = {"input": x}
+    or stops at the pooled features (pre-classifier).
+
+    ``tap_fn(name, t) -> t'`` intercepts every quantization point (the same
+    tap set convert_static_int8 consumes) and its return value re-enters the
+    flow — the hook QAT uses to fake-quantize activations (see qat.py)."""
+    taps: Dict[str, jax.Array] = {}
+
+    def tap(name, t):
+        taps[name] = t
+        return tap_fn(name, t) if tap_fn is not None else t
+
+    x = tap("input", x)
     t = _conv_f32(x, folded["conv1"]["w"], folded["conv1"]["b"], 2, 3, relu=True)
-    taps["stem"] = t
+    t = tap("stem", t)
     t = _max_pool(t, -jnp.inf)
 
     for s, depth in enumerate(spec.depths):
@@ -79,21 +90,21 @@ def apply_folded(
             identity = t
             if spec.block == "basic":
                 h = _conv_f32(t, blk["conv1"]["w"], blk["conv1"]["b"], stride, 1, relu=True)
-                taps[f"l{s}b{b}i0"] = h
+                h = tap(f"l{s}b{b}i0", h)
                 h = _conv_f32(h, blk["conv2"]["w"], blk["conv2"]["b"], 1, 1, relu=False)
             else:
                 h = _conv_f32(t, blk["conv1"]["w"], blk["conv1"]["b"], 1, 0, relu=True)
-                taps[f"l{s}b{b}i0"] = h
+                h = tap(f"l{s}b{b}i0", h)
                 h = _conv_f32(h, blk["conv2"]["w"], blk["conv2"]["b"], stride, 1, relu=True)
-                taps[f"l{s}b{b}i1"] = h
+                h = tap(f"l{s}b{b}i1", h)
                 h = _conv_f32(h, blk["conv3"]["w"], blk["conv3"]["b"], 1, 0, relu=False)
             if "down" in blk:
                 identity = _conv_f32(t, blk["down"]["w"], blk["down"]["b"], stride, 0, relu=False)
             t = jax.nn.relu(h + identity)
-            taps[f"l{s}b{b}o"] = t
+            t = tap(f"l{s}b{b}o", t)
 
     feats = jnp.mean(t, axis=(1, 2))
-    taps["feat"] = feats
+    feats = tap("feat", feats)
     if return_features:
         return feats
     logits = feats @ jnp.asarray(folded["fc"]["w"]) + jnp.asarray(folded["fc"]["b"])
@@ -103,31 +114,18 @@ def apply_folded(
 
 
 def calibrate(
-    spec: ResNetSpec, folded, batches, *, max_images: int = 256, averaging_constant=0.01
+    spec: ResNetSpec, folded, batches, *, max_images: int = 256,
+    averaging_constant=0.01, **observer_kw,
 ) -> Dict[str, ObserverState]:
-    """Run ≤max_images through the folded model, EMA-updating every tap's
-    observer (reference calibration budget: `quantization/main.py:157`)."""
-    tap_minmax = jax.jit(
-        lambda f, x: jax.tree.map(
-            lambda t: (jnp.min(t), jnp.max(t)),
-            apply_folded(spec, f, x, with_taps=True)[1],
-        )
-    )
-    from ...data.pipeline import normalize_images
+    """Activation-range calibration over ≤max_images (reference budget,
+    `quantization/main.py:157`); estimator selectable via observer_kw
+    (observer='minmax'|'percentile'|'entropy', see calib.calibrate_taps)."""
+    from .calib import calibrate_taps
 
-    observers: Dict[str, ObserverState] = {}
-    seen = 0
-    for batch in batches:
-        imgs = batch[0] if isinstance(batch, tuple) else batch
-        x = normalize_images(jnp.asarray(imgs))
-        mm = jax.device_get(tap_minmax(folded, x))
-        for name, (lo, hi) in mm.items():
-            observers.setdefault(name, ObserverState.fresh())
-            observers[name] = observers[name].update(lo, hi, averaging_constant)
-        seen += int(imgs.shape[0])
-        if seen >= max_images:
-            break
-    return observers
+    return calibrate_taps(
+        apply_folded, spec, folded, batches, max_images=max_images,
+        averaging_constant=averaging_constant, **observer_kw,
+    )
 
 
 # --------------------------------------------------------------------------

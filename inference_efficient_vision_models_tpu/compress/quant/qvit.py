@@ -133,19 +133,28 @@ def fold(spec: ViTSpec, params, state) -> Dict:
 
 def apply_folded(
     spec: ViTSpec, folded, x, *, with_taps: bool = False,
-    return_features: bool = False,
+    return_features: bool = False, tap_fn=None,
 ):
     """fp32/half forward (compute dtype = x.dtype); optionally returns the
-    activation taps at every dense-layer INPUT (static-int8 observers)."""
+    activation taps at every dense-layer INPUT (static-int8 observers).
+
+    ``tap_fn(name, t) -> t'`` intercepts every quantization point and its
+    return value re-enters the flow (QAT fake-quant hook, see qat.py)."""
     dtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float16) else jnp.float32
-    if not with_taps:
+    if not with_taps and tap_fn is None:
         out, _ = vit_mod.apply(
             spec, folded, {}, x, train=False, compute_dtype=dtype,
             return_features=return_features,
         )
         return out
 
-    taps: Dict[str, jax.Array] = {"input": x}
+    taps: Dict[str, jax.Array] = {}
+
+    def tap(name, t):
+        taps[name] = t
+        return tap_fn(name, t) if tap_fn is not None else t
+
+    x = tap("input", x)
     pe = lax.conv_general_dilated(
         x.astype(jnp.float32), jnp.asarray(folded["patch_embed"]["w"]),
         (spec.patch, spec.patch), "VALID",
@@ -161,58 +170,46 @@ def apply_folded(
         blk = folded["blocks"][str(i)]
         heads = blk["qkv"]["w"].shape[1] // (3 * hd)
         z = _layer_norm(h, blk["ln1"])
-        taps[f"b{i}qkv"] = z
+        z = tap(f"b{i}qkv", z)
         qkv = (z @ jnp.asarray(blk["qkv"]["w"])) + jnp.asarray(blk["qkv"]["b"])
         qkv = qkv.reshape(b, -1, 3, heads, hd)
         qh, kh, vh = (qkv[:, :, j].transpose(0, 2, 1, 3) for j in range(3))
         att = jax.nn.softmax(jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * hd**-0.5, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", att, vh)
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, heads * hd)
-        taps[f"b{i}proj"] = out
+        out = tap(f"b{i}proj", out)
         h = h + (out @ jnp.asarray(blk["proj"]["w"])) + jnp.asarray(blk["proj"]["b"])
         z = _layer_norm(h, blk["ln2"])
-        taps[f"b{i}mlp1"] = z
+        z = tap(f"b{i}mlp1", z)
         z = jax.nn.gelu(
             (z @ jnp.asarray(blk["mlp1"]["w"])) + jnp.asarray(blk["mlp1"]["b"]),
             approximate=False,
         )
-        taps[f"b{i}mlp2"] = z
+        z = tap(f"b{i}mlp2", z)
         h = h + (z @ jnp.asarray(blk["mlp2"]["w"])) + jnp.asarray(blk["mlp2"]["b"])
 
     h = _layer_norm(h, folded["norm"])
     feats = h[:, 0]
-    taps["head"] = feats
+    feats = tap("head", feats)
     logits = (feats @ jnp.asarray(folded["head"]["w"])) + jnp.asarray(folded["head"]["b"])
-    return logits, taps
+    if with_taps:
+        return logits, taps
+    return logits
 
 
 def calibrate(
     spec: ViTSpec, folded, batches, *, max_images: int = 256,
-    averaging_constant=0.01,
+    averaging_constant=0.01, **observer_kw,
 ) -> Dict[str, ObserverState]:
-    """EMA min/max per dense-layer input over ≤max_images
-    (reference calibration budget, `quantization/main.py:157`)."""
-    from ...data.pipeline import normalize_images
+    """Per-dense-layer-input range calibration over ≤max_images (reference
+    budget, `quantization/main.py:157`); estimator selectable via observer_kw
+    (observer='minmax'|'percentile'|'entropy', see calib.calibrate_taps)."""
+    from .calib import calibrate_taps
 
-    tap_minmax = jax.jit(
-        lambda f, x: jax.tree.map(
-            lambda t: (jnp.min(t.astype(jnp.float32)), jnp.max(t.astype(jnp.float32))),
-            apply_folded(spec, f, x, with_taps=True)[1],
-        )
+    return calibrate_taps(
+        apply_folded, spec, folded, batches, max_images=max_images,
+        averaging_constant=averaging_constant, **observer_kw,
     )
-    observers: Dict[str, ObserverState] = {}
-    seen = 0
-    for batch in batches:
-        imgs = batch[0] if isinstance(batch, tuple) else batch
-        x = normalize_images(jnp.asarray(imgs))
-        mm = jax.device_get(tap_minmax(folded, x))
-        for name, (lo, hi) in mm.items():
-            observers.setdefault(name, ObserverState.fresh())
-            observers[name] = observers[name].update(lo, hi, averaging_constant)
-        seen += int(imgs.shape[0])
-        if seen >= max_images:
-            break
-    return observers
 
 
 def _static_dense_params(d, obs_in) -> Dict:

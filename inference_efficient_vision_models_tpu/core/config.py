@@ -226,6 +226,15 @@ class QuantConfig(BaseConfig):
         # dead — here `calibration_images` is the real knob.
         self.num_calibration_batches = 10
         self.calibration_images = 256
+        # Activation-range estimator for static int8 (compress/quant/calib):
+        # 'minmax' (EMA, reference parity) | 'percentile' | 'entropy' (KL)
+        self.observer = "minmax"
+        self.percentile = 99.99  # only read by observer='percentile'
+        # Quantization-aware fine-tune between calibration and conversion
+        # (compress/quant/qat). 0 = pure PTQ (reference parity); N > 0 runs
+        # N epochs of STE fake-quant fine-tuning on the fold's train split.
+        self.qat_epochs = 0
+        self.qat_lr = 1e-5
         # weight_only_int8 (W8A16) is the documented serving pick for the
         # MBConv families (README/PARITY), so a default stage-4 run must
         # produce its artifact for Predictor.from_artifact.
