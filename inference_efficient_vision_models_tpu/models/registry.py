@@ -85,20 +85,19 @@ def create_model(
     if key is None:
         key = jax.random.PRNGKey(0)
     params, state = model_module(spec).init(key, spec)
-    if pretrained and not isinstance(spec, ResNetSpec):
-        import logging
-
-        (logger or logging.getLogger("ievm")).warning(
-            "pretrained=True requested for %s but torchvision-cache import is "
-            "implemented for ResNets only — using RANDOM init (import a "
-            "checkpoint via models.torch_import.load_torch_checkpoint instead)",
-            spec.name,
-        )
-    if pretrained and isinstance(spec, ResNetSpec):
+    if pretrained:
+        # Every family initializes from a cached torch state_dict via its
+        # torch_import converter (IEVM_WEIGHTS_DIR / torch-hub cache;
+        # torchvision's downloader as a last resort for ResNets).
         try:
-            from .torch_import import load_torchvision_pretrained
+            from .torch_import import find_cached_weights, load_pretrained
 
-            params, state = load_torchvision_pretrained(spec, params, state)
+            if find_cached_weights(spec.name) is None and isinstance(spec, ResNetSpec):
+                from .torch_import import load_torchvision_pretrained
+
+                params, state = load_torchvision_pretrained(spec, params, state)
+            else:
+                params, state = load_pretrained(spec, params, state)
         except Exception as e:  # no cache / no network — keep random init
             # never fall back silently: a pretrained=True run that quietly
             # trains from scratch is a correctness trap (the reference logs
@@ -106,8 +105,9 @@ def create_model(
             import logging
 
             (logger or logging.getLogger("ievm")).warning(
-                "pretrained=True requested for %s but no torchvision weight "
-                "cache is available (%s: %s) — falling back to RANDOM init",
+                "pretrained=True requested for %s but no local weight cache "
+                "has it (%s: %s) — falling back to RANDOM init (set "
+                "IEVM_WEIGHTS_DIR or populate ~/.cache/torch/hub/checkpoints)",
                 spec.name, type(e).__name__, e,
             )
     return spec, params, state

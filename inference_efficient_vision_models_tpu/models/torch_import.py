@@ -11,6 +11,7 @@ Tensor layout conversions: conv OIHW → HWIO, linear (O, I) → (I, O).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Tuple
 
 import numpy as np
@@ -256,3 +257,94 @@ def spec_with_imagenet_head(spec: ResNetSpec) -> ResNetSpec:
     import dataclasses
 
     return dataclasses.replace(spec, num_classes=1000)
+
+
+# ----------------------------------------------------------------------------
+# Generic pretrained init from a local weight cache (all four families)
+# ----------------------------------------------------------------------------
+# The reference constructs every backbone with ImageNet weights by default
+# (`teacher_training/utils.py:29-43`, downloading through timm/torchvision).
+# This environment has no network and no torchvision, so pretrained weights
+# come from an on-disk cache of ``.pth`` state_dicts: `$IEVM_WEIGHTS_DIR`
+# first, then the standard torch-hub checkpoint dir
+# (`$TORCH_HOME/hub/checkpoints`, default `~/.cache/torch/hub/checkpoints`).
+# Files match ``<model_name>[-_]*.pth`` — torchvision's own cache naming
+# (e.g. ``resnet18-f37072fd.pth``, ``mobilenet_v2-b0353104.pth``).
+
+
+def cached_weight_dirs():
+    env = os.environ.get("IEVM_WEIGHTS_DIR")
+    torch_home = os.environ.get(
+        "TORCH_HOME", os.path.join(os.path.expanduser("~"), ".cache", "torch")
+    )
+    dirs = [env] if env else []
+    dirs.append(os.path.join(torch_home, "hub", "checkpoints"))
+    return [d for d in dirs if d and os.path.isdir(d)]
+
+
+def find_cached_weights(name: str):
+    """→ path of a cached ``.pth`` for a model name, or None."""
+    import glob
+
+    for d in cached_weight_dirs():
+        exact = os.path.join(d, f"{name}.pth")
+        if os.path.exists(exact):
+            return exact
+        hits = sorted(
+            glob.glob(os.path.join(d, f"{name}-*.pth"))
+            + glob.glob(os.path.join(d, f"{name}_*.pth"))
+        )
+        if hits:
+            return hits[0]
+    return None
+
+
+def load_pretrained(spec, params, state, *, path: str | None = None):
+    """ImageNet-init any family from a cached torch state_dict, keeping our
+    randomly-initialized classifier head (the reference swaps the head the
+    same way, `teacher_training/utils.py:40-57`).
+
+    Raises FileNotFoundError when no cache entry exists for ``spec.name``."""
+    import dataclasses
+
+    import torch
+
+    from .efficientnet import EfficientNetSpec
+    from .mobilenet import MobileNetV2Spec
+    from .vit import ViTSpec
+
+    if path is None:
+        path = find_cached_weights(spec.name)
+    if path is None:
+        raise FileNotFoundError(
+            f"no cached weights for {spec.name!r} in "
+            f"{cached_weight_dirs() or '$IEVM_WEIGHTS_DIR (unset)'}"
+        )
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+
+    # converters expect the checkpoint's own (ImageNet, 1000-class) head
+    # shape; we discard it for ours below
+    head_key = "head" if isinstance(spec, ViTSpec) else "fc"
+    sd_head_rows = None
+    strip = _strip(sd)
+    for k in ("fc.weight", "classifier.1.weight", "head.weight"):
+        if k in strip:
+            sd_head_rows = int(strip[k].shape[0])
+            break
+    spec_full = (
+        dataclasses.replace(spec, num_classes=sd_head_rows)
+        if sd_head_rows is not None and sd_head_rows != spec.num_classes
+        else spec
+    )
+    if isinstance(spec, EfficientNetSpec):
+        p2, s2 = from_torch_state_dict_effnet(spec_full, sd)
+    elif isinstance(spec, MobileNetV2Spec):
+        p2, s2 = from_torch_state_dict_mbv2(spec_full, sd)
+    elif isinstance(spec, ViTSpec):
+        p2, s2 = from_torch_state_dict_vit(spec_full, sd)
+    else:
+        p2, s2 = from_torch_state_dict(spec_full, sd)
+    p2[head_key] = params[head_key]
+    return p2, s2
