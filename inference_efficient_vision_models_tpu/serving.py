@@ -26,12 +26,17 @@ import jax
 import jax.numpy as jnp
 
 
-def load_quantized(fold_dir: str, method: str):
+def load_quantized(fold_dir: str, method: str, *, mesh=None):
     """Restore a stage-4 artifact → (spec, model, apply_fn, host_preprocess).
 
     Artifact kinds are self-describing: static int8 carries "input" qparams
     (and uses the space-to-depth host layout), dynamic int8 carries "fc_q",
     fp16/bf16 casts are plain folded pytrees.
+
+    With ``mesh``, the model is replicated over it and the returned apply_fn
+    is a global-view program: pass batches sharded over the mesh's data axis
+    (``parallel.shard_batch``) and XLA runs data-parallel inference with the
+    logits gathered — the Predictor does this when constructed with a mesh.
     """
     import functools
     import json
@@ -50,7 +55,13 @@ def load_quantized(fold_dir: str, method: str):
     qmod = quant_module(spec)
     with open(os.path.join(fold_dir, f"model_{method}.msgpack"), "rb") as f:
         model = serialization.msgpack_restore(f.read())
-    model = device_materialize(qmod.restore_derived(model))
+    model = qmod.restore_derived(model)
+    if mesh is not None:
+        from .parallel import replicate
+
+        model = replicate(mesh, model)
+    else:
+        model = device_materialize(model)
 
     from .compress.quant import wo8
 
@@ -104,16 +115,41 @@ class Predictor:
         host_preprocess: Optional[Callable] = None,
         batch_size: int = 256,
         prefetch: int = 2,
+        mesh=None,
     ):
+        """``mesh``: run data-parallel over a ``jax.sharding.Mesh`` — each
+        batch is split over the mesh's data axis (batch_size must divide by
+        its size; the tail batch is padded to full size anyway). The model
+        must be placed for the same mesh (``from_artifact(..., mesh=…)``
+        or ``parallel.replicate``)."""
         self.apply_fn = apply_fn
         self.host_preprocess = host_preprocess
         self.batch_size = batch_size
         self.prefetch = max(prefetch, 1)
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel.mesh import DATA_AXIS
+
+            n_dp = mesh.shape[DATA_AXIS]
+            if batch_size % n_dp:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by data-axis size {n_dp}"
+                )
 
     @classmethod
-    def from_artifact(cls, fold_dir: str, method: str = "static_int8", **kw):
-        _, _, fn, pre = load_quantized(fold_dir, method)
-        return cls(fn, host_preprocess=pre, **kw)
+    def from_artifact(
+        cls, fold_dir: str, method: str = "static_int8", *, mesh=None, **kw
+    ):
+        _, _, fn, pre = load_quantized(fold_dir, method, mesh=mesh)
+        return cls(fn, host_preprocess=pre, mesh=mesh, **kw)
+
+    def _stage(self, chunk: np.ndarray):
+        """Host batch → device array (sharded over the data axis on a mesh)."""
+        if self.mesh is not None:
+            from .parallel import shard_batch
+
+            return shard_batch(self.mesh, chunk)
+        return jnp.asarray(chunk)
 
     # -- core pipeline ------------------------------------------------------
     def _batches(self, images: np.ndarray):
@@ -135,7 +171,7 @@ class Predictor:
             for chunk, valid in self._batches(images):
                 if self.host_preprocess is not None:
                     chunk = self.host_preprocess(chunk)
-                q.put((jnp.asarray(chunk), valid))
+                q.put((self._stage(chunk), valid))
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -164,4 +200,4 @@ class Predictor:
         """Generator over an unbounded stream of u8 image batches."""
         for chunk in batches:
             x = self.host_preprocess(chunk) if self.host_preprocess else chunk
-            yield np.asarray(self.apply_fn(jnp.asarray(x)))
+            yield np.asarray(self.apply_fn(self._stage(x)))
