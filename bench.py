@@ -7,6 +7,9 @@ JSON line; key fields:
 
   value / vs_baseline      pipelined serving throughput vs the 10k img/s
                            north star (device-resident input)
+  pipelined_img_per_s_with_host   Predictor sustained stream: host uint8 in,
+                           space-to-depth preprocess + H2D + execute + gather
+                           overlapped (the serving runtime measured as one)
   device_ms_per_batch      device-only batch time from a fori_loop-chained
                            program (dispatch fully amortized)
   device_p50_ms_bs1        device-only single-image latency (chained) —
@@ -47,17 +50,31 @@ def _chain(body_fn, k):
     return jax.jit(lambda x: lax.fori_loop(0, k, body, x))
 
 
-def _timeit(fn, *args, iters=4):
+def _timeit(fn, *args, iters=5):
+    """Median-of-N with a one-scalar fetch per round: block_until_ready can
+    return absurdly early over the axon tunnel, so every round must deliver
+    a value end-to-end (verify-skill timing protocol; never min-of-N)."""
     import jax
+    import jax.numpy as jnp
 
     r = fn(*args)
     jax.block_until_ready(r)
-    best = float("inf")
+    ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best
+        r = fn(*args)
+        float(jnp.ravel(r)[0])  # force end-to-end delivery of one scalar
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def _chained_ms(body_fn, x, k):
+    """Per-iteration device time from the K vs 2K chained difference — the
+    constant per-call overhead (dispatch + tunnel round trip + scalar fetch)
+    cancels, leaving pure device time."""
+    t_k = _timeit(_chain(body_fn, k), x)
+    t_2k = _timeit(_chain(body_fn, 2 * k), x)
+    return max(t_2k - t_k, 1e-9) / k * 1e3
 
 
 def _find_artifact():
@@ -184,14 +201,36 @@ def main():
     ips = BATCH * iters / best_dt
     batch_ms = best_dt / iters * 1e3
 
+    # ---- serving runtime: sustained host→device stream --------------------
+    # N host-side uint8 batches through Predictor.predict_logits INCLUDING
+    # the space-to-depth host preprocess — the three-stage overlap
+    # (preprocess thread → async dispatch → gather) measured as a runtime,
+    # not as a device-resident loop (serving.py:1-13's claim).
+    from inference_efficient_vision_models_tpu.serving import Predictor
+
+    n_stream = BATCH * int(os.environ.get("BENCH_STREAM_BATCHES", 8))
+    stream_imgs = np.random.default_rng(2).integers(
+        0, 255, (n_stream, 224, 224, 3)
+    ).astype(np.uint8)
+    pred = Predictor(
+        fwd, host_preprocess=space_to_depth_u8, batch_size=BATCH, prefetch=3
+    )
+    pred.predict_logits(stream_imgs[: 2 * BATCH])  # warm
+    stream_dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pred.predict_logits(stream_imgs)
+        stream_dts.append(time.perf_counter() - t0)
+    stream_ips = n_stream / float(np.median(stream_dts))
+
     # ---- device-only times (chained: dispatch amortized to zero) ----------
-    f_dev = _chain(lambda xx: qresnet.apply_int8(pspec, qmodel, xx), K)
-    device_ms = _timeit(f_dev, x) / K * 1e3
+    device_ms = _chained_ms(lambda xx: qresnet.apply_int8(pspec, qmodel, xx), x, K)
     device_ips = BATCH / device_ms * 1e3
 
     x1 = device_materialize(jnp.asarray(space_to_depth_u8(x_full[:1])))
-    f_dev1 = _chain(lambda xx: qresnet.apply_int8(pspec, qmodel, xx), 64)
-    device_ms_bs1 = _timeit(f_dev1, x1, iters=6) / 64 * 1e3
+    device_ms_bs1 = _chained_ms(
+        lambda xx: qresnet.apply_int8(pspec, qmodel, xx), x1, 64
+    )
 
     # per-call synchronized bs-1 latency (includes the tunnel's per-launch
     # round trip) + the same-session sync floor of a NO-OP program: on the
@@ -232,7 +271,7 @@ def main():
             with jax.default_matmul_precision(precision):
                 return qresnet.apply_folded(pspec, m, normalize_images(xx, dtype))
 
-        return _timeit(_chain(body, K), xf) / K * 1e3
+        return _chained_ms(body, xf, K)
 
     fp32_ms = float_ms(jnp.float32)                  # XLA default: bf16 passes
     fp32_true_ms = float_ms(jnp.float32, "float32")  # IEEE fp32 semantics
@@ -279,6 +318,7 @@ def main():
         "vs_baseline": round(ips / TARGET_IPS, 3),
         "batch_size": BATCH,
         "batch_ms": round(batch_ms, 3),
+        "pipelined_img_per_s_with_host": round(stream_ips, 1),
         "device_ms_per_batch": round(device_ms, 3),
         "device_img_per_s": round(device_ips, 1),
         "device_p50_ms_bs1": round(device_ms_bs1, 4),
