@@ -1,7 +1,15 @@
 from . import efficientnet, mobilenet, resnet, vit
 from .efficientnet import EfficientNetSpec, efficientnet_spec
 from .mobilenet import MobileNetV2Spec, mobilenet_v2_spec
-from .registry import apply_model, create_model, make_spec, model_module, spec_from_dict
+from .registry import (
+    apply_model,
+    create_model,
+    make_spec,
+    model_module,
+    register_model,
+    registered_models,
+    spec_from_dict,
+)
 from .vit import ViTSpec, vit_spec
 from .widths import ResNetSpec, resnet_spec, residual_groups
 
@@ -24,4 +32,6 @@ __all__ = [
     "model_module",
     "apply_model",
     "spec_from_dict",
+    "register_model",
+    "registered_models",
 ]

@@ -18,6 +18,30 @@ from .widths import ResNetSpec, resnet_spec
 
 SpecLike = Union[str, Dict, ResNetSpec, ViTSpec, MobileNetV2Spec, EfficientNetSpec]
 
+# User-registered model names → spec constructor. The analog of the
+# reference's any-timm-name passthrough (`teacher_training/utils.py:21-28`):
+# there is no timm in this stack, but any spec expressible over the four
+# family dataclasses (arbitrary widths/depths/patch sizes) can be bound to a
+# name here and then used from every stage CLI via ``model_name=<name>``.
+_CUSTOM: Dict[str, Any] = {}
+
+
+def register_model(name: str, spec_fn, *, overwrite: bool = False) -> None:
+    """Register ``name`` → ``spec_fn(num_classes=..., in_chans=...) -> spec``.
+
+    The returned spec must be one of the four family dataclasses (they carry
+    the functional module dispatch); every downstream subsystem — training,
+    KD, the pruning dependency graph, all quantization modes, serving — works
+    on any such spec, so a registered name is a first-class zoo member.
+    """
+    if name in _CUSTOM and not overwrite:
+        raise ValueError(f"model {name!r} already registered")
+    _CUSTOM[name] = spec_fn
+
+
+def registered_models():
+    return sorted(_CUSTOM)
+
 
 def spec_from_dict(d: Dict):
     """Spec-JSON → the right spec dataclass (non-resnet dicts carry __kind__)."""
@@ -36,6 +60,8 @@ def make_spec(model: SpecLike, num_classes: int = 6, in_chans: int = 3):
         return model
     if isinstance(model, dict):
         return spec_from_dict(model)
+    if model in _CUSTOM:
+        return _CUSTOM[model](num_classes=num_classes, in_chans=in_chans)
     if model.startswith("vit_"):
         return vit_spec(model, num_classes=num_classes)
     if model.startswith("efficientnet"):
