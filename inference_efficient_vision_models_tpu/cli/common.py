@@ -39,6 +39,19 @@ def make_config(cfg_cls: Type, argv=None):
     return cfg_cls(**parse_cli_kwargs(argv))
 
 
+def iter_folds(cfg):
+    """Folds a stage run covers: ``cfg.folds`` if set (validated against the
+    split arity), else all ``num_folds``. A bare int is accepted for
+    ``folds=2``-style CLI overrides."""
+    if cfg.folds is None:
+        return range(cfg.num_folds)
+    folds = (cfg.folds,) if isinstance(cfg.folds, int) else tuple(cfg.folds)
+    bad = [f for f in folds if not 0 <= int(f) < cfg.num_folds]
+    if bad:
+        raise ValueError(f"folds {bad} outside the {cfg.num_folds}-fold split")
+    return [int(f) for f in folds]
+
+
 def setup_stage(cfg) -> Tuple:
     """Common preamble: logger, seed, dataset, persisted fold split.
 

@@ -43,10 +43,10 @@ def _load_teacher(cfg, fold: int, logger):
 
 
 def run_train(cfg, logger, data, split):
-    from .common import fold_arrays
+    from .common import fold_arrays, iter_folds
 
     results = []
-    for fold in range(cfg.num_folds):
+    for fold in iter_folds(cfg):
         logger.info("===== fold %d/%d =====", fold, cfg.num_folds - 1)
         try:
             teacher = _load_teacher(cfg, fold, logger)
@@ -80,8 +80,10 @@ def run_train(cfg, logger, data, split):
 
 
 def run_test(cfg, logger, data):
+    from .common import iter_folds
+
     results = []
-    for fold in range(cfg.num_folds):
+    for fold in iter_folds(cfg):
         fold_dir = cfg.fold_dir(fold)
         try:
             spec, params, state = load_stage_model(fold_dir, cfg.test_ckpt_type)

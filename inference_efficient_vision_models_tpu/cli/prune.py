@@ -23,11 +23,11 @@ def _metrics_row(fold, phase, m):
 
 
 def run_prune(cfg, logger, data, split):
-    from .common import fold_arrays
+    from .common import fold_arrays, iter_folds
     from ..data.pipeline import Batches
 
     rows = []
-    for fold in range(cfg.num_folds):
+    for fold in iter_folds(cfg):
         logger.info("===== fold %d/%d =====", fold, cfg.num_folds - 1)
         src_dir = os.path.join(cfg.student_exp_path, f"fold_{fold}")
         try:
@@ -66,8 +66,10 @@ def run_prune(cfg, logger, data, split):
 
 
 def run_test(cfg, logger, data):
+    from .common import iter_folds
+
     rows = []
-    for fold in range(cfg.num_folds):
+    for fold in iter_folds(cfg):
         fold_dir = cfg.fold_dir(fold)
         try:
             spec, params, state = load_stage_model(fold_dir, cfg.test_ckpt_type)

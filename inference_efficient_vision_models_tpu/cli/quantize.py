@@ -55,13 +55,15 @@ def run_test(cfg, logger, data):
     """choice=2: reload saved quantized artifacts and re-evaluate (the
     checkpoint round-trip check every other stage has; the reference's
     quantization choice field was unused, `q_config.py:57`)."""
+    from .common import iter_folds
+
     from ..compress.quant import quant_module
     from ..compress.quant.engine import evaluate_accuracy_fn
     from ..metrics.profile import model_size_bytes
     from ..serving import load_quantized
 
     rows = []
-    for fold in range(cfg.num_folds):
+    for fold in iter_folds(cfg):
         fold_dir = cfg.fold_dir(fold)
         if not os.path.exists(os.path.join(fold_dir, "spec.json")):
             logger.warning("fold %d: no quantized artifacts — skipping", fold)
@@ -82,10 +84,10 @@ def run_test(cfg, logger, data):
 
 
 def run_quantize(cfg, logger, data, split):
-    from .common import fold_arrays
+    from .common import fold_arrays, iter_folds
 
     rows = []
-    for fold in range(cfg.num_folds):
+    for fold in iter_folds(cfg):
         logger.info("===== fold %d/%d (%s) =====", fold, cfg.num_folds - 1, cfg.model_type)
         src = _source_dir(cfg, fold)
         try:

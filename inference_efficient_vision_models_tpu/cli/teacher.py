@@ -33,10 +33,10 @@ def load_stage_model(fold_dir: str, which: str):
 
 
 def run_train(cfg, logger, data, split):
-    from .common import fold_arrays
+    from .common import fold_arrays, iter_folds
 
     results = []
-    for fold in range(cfg.num_folds):
+    for fold in iter_folds(cfg):
         logger.info("===== fold %d/%d =====", fold, cfg.num_folds - 1)
         train_d, val_d, test_d = fold_arrays(data, split, fold)
         with jax.default_device(cpu_device()):
@@ -63,8 +63,10 @@ def run_train(cfg, logger, data, split):
 
 
 def run_test(cfg, logger, data):
+    from .common import iter_folds
+
     results = []
-    for fold in range(cfg.num_folds):
+    for fold in iter_folds(cfg):
         fold_dir = cfg.fold_dir(fold)
         try:
             spec, params, state = load_stage_model(fold_dir, cfg.test_ckpt_type)

@@ -56,6 +56,11 @@ class BaseConfig:
 
         self.num_classes = 6
         self.num_folds = 5
+        # Optional fold subset, e.g. folds=(0,) for a single-fold A/B run.
+        # None runs every fold of the persisted num_folds-way split; the
+        # split itself is always built from num_folds so per-fold data is
+        # identical whether a fold runs alone or in the full sweep.
+        self.folds = None
         self.image_size: Tuple[int, int] = (224, 224)
         self.batch_size = 64
         self.learning_rate = 1e-4

@@ -37,6 +37,19 @@ def _args(root, extra):
     return [f"artifacts_root='{root}'"] + COMMON + extra
 
 
+def test_iter_folds_subset():
+    """folds=… runs a subset of the persisted split (single-fold A/B runs)."""
+    from inference_efficient_vision_models_tpu.cli.common import iter_folds
+    from inference_efficient_vision_models_tpu.core.config import QuantConfig
+
+    assert list(iter_folds(QuantConfig())) == [0, 1, 2, 3, 4]
+    assert list(iter_folds(QuantConfig(folds=(0,)))) == [0]
+    assert list(iter_folds(QuantConfig(folds=(1, 3)))) == [1, 3]
+    assert list(iter_folds(QuantConfig(folds=2))) == [2]  # bare-int CLI form
+    with pytest.raises(ValueError):
+        iter_folds(QuantConfig(folds=(5,)))
+
+
 @pytest.mark.slow
 def test_stage1_teacher(pipeline_root):
     res = teacher.main(_args(pipeline_root, ["choice=1", "model_name='resnet18'"]))
