@@ -10,9 +10,16 @@ outlier-robust range estimators, selectable per stage-4 run via
   calibration distribution (e.g. pct=99.99 keeps the central 99.98%).
 * ``entropy`` — TensorRT-style KL(P‖Q) minimization, generalized to the
   affine/asymmetric quint8 scheme: search candidate (lo, hi) clip windows on
-  a quantile grid; for each, fold outlier mass into the edge bins (P),
-  simulate 256-level quantization by block-summing and re-expanding over
-  nonzero bins (Q), and keep the window minimizing the divergence.
+  a quantile grid; for each, simulate 256-level quantization by
+  block-summing the window and re-expanding over nonzero bins, with clipped
+  outlier mass mapped to the window-edge levels, and keep the window
+  minimizing KL(P‖Q) **over the full support**. The full-support reference
+  is the load-bearing detail: TensorRT's classic formulation folds clipped
+  mass into the edge bins of BOTH distributions, which makes clipping free
+  in the objective — on spike-plus-heavy-tail activations (EfficientNet
+  SiLU) the narrowest candidate then always wins and saturates the
+  informative tail (measured 36% vs 90% fp32 on ef2 before this fix; see
+  tests/test_calib.py for the distilled regression).
 
 All three run off ONE shared sweep over the model's activation taps
 (``apply_folded(..., with_taps=True)``, the same tap set the conversions
@@ -66,6 +73,9 @@ def _kl(p: np.ndarray, q: np.ndarray) -> float:
     return float(np.sum(p[mask] * np.log(p[mask] / np.maximum(q[mask], 1e-12))))
 
 
+_Q_FLOOR = 1e-12  # q mass assigned to bins outside the clip window
+
+
 def _quantize_expand(p: np.ndarray, nlevels: int) -> np.ndarray:
     """Simulate nlevels-bucket quantization of a distribution: block-sum,
     then spread each bucket's mass uniformly over its NONZERO source bins
@@ -102,6 +112,7 @@ def entropy_range(
     hi_cands = sorted(
         {min(int(np.searchsorted(c, 1.0 - f, side="left")) + 1, nbins) for f in tail_fracs}
     )
+    p_full = hist / total
     best = (lo, hi)
     best_kl = np.inf
     seen = set()
@@ -118,12 +129,15 @@ def entropy_range(
             if (li, hj) in seen:
                 continue
             seen.add((li, hj))
-            p = hist[li:hj].copy()
-            p[0] += hist[:li].sum()      # fold clipped mass into the edges
-            p[-1] += hist[hj:].sum()
-            if p.sum() <= 0:
+            inner = hist[li:hj].astype(np.float64).copy()
+            if inner.sum() <= 0:
                 continue
-            kl = _kl(p, _quantize_expand(p, nlevels))
+            # clipped values saturate to the window-edge quantization levels
+            inner[0] += hist[:li].sum()
+            inner[-1] += hist[hj:].sum()
+            q_full = np.full(nbins, _Q_FLOOR)
+            q_full[li:hj] = np.maximum(_quantize_expand(inner, nlevels), _Q_FLOOR)
+            kl = _kl(p_full, q_full)
             if kl < best_kl:
                 best_kl = kl
                 best = (float(edges[li]), float(edges[hj]))

@@ -46,6 +46,24 @@ def test_entropy_range_clips_outliers_keeps_bulk():
     assert hi > 9.0, hi  # bulk (mean 5, sigma 1.5) retained
 
 
+def test_entropy_spike_plus_heavy_tail_keeps_tail():
+    """Regression: with KL folded into the edge bins of BOTH p and q
+    (classic TensorRT formulation), clipping is free in the objective, so on
+    spike-plus-heavy-tail activations (EfficientNet SiLU) the narrowest
+    candidate window won and saturated the whole informative tail — measured
+    36% vs 90% fp32 on the ef2 5-fold run. The full-support KL must keep
+    ≈all of the tail."""
+    rng = np.random.default_rng(0)
+    spike = np.abs(rng.normal(0, 0.05, 970_000))
+    tail = rng.exponential(1.5, 30_000)
+    x = np.concatenate([spike, tail])
+    hist, _ = np.histogram(x, bins=2048, range=(0.0, 12.0))
+    lo, hi = entropy_range(hist, 0.0, 12.0)
+    clipped_frac = float((x > hi).mean())
+    assert clipped_frac < 2e-3, (hi, clipped_frac)  # was 0.5% pre-fix (hi≈2.7)
+    assert hi > 4.0, hi
+
+
 def test_degenerate_histograms():
     z = np.zeros(128, np.int64)
     assert percentile_range(z, -1.0, 1.0) == (-1.0, 1.0)
