@@ -25,7 +25,7 @@ import numpy as np
 
 from ...models.efficientnet import EfficientNetSpec
 from ...models.mobilenet import MobileNetV2Spec
-from ...ops.fused_mbconv import fused_mbconv_block
+from ...ops.fused_mbconv import fusable, fused_mbconv_block
 from . import qeffnet, qmobilenet
 from .observers import dequantize_affine_shifted, quantize_affine_shifted
 
@@ -111,7 +111,7 @@ def pack_fused(spec, q: Dict) -> Dict:
         for b in range(depth):
             blk = q[f"stage{s}"][str(b)]
             qf[f"s{s}b{b}"] = _pack_block(blk, cur_scale, cur_zp, se=se)
-            cur_scale, cur_zp = float(blk["out_scale"]), float(blk["out_zp"])
+            cur_scale, cur_zp = blk["out_scale"], blk["out_zp"]
     return qf
 
 
@@ -145,15 +145,31 @@ def apply_int8_fused(spec, q: Dict, qf: Dict, x, *, interpret: bool = False):
         else:
             cur = fam._conv_q(x_s, in_zp, in_scale, stem, 2, 1, relu6=True, requant=True)
 
+    cur_scale, cur_zp = stem["out_scale"], stem["out_zp"]
     for s, depth in enumerate(spec.depths):
         k = spec.stage_kernels[s] if hasattr(spec, "stage_kernels") else 3
         for b in range(depth):
             stride = spec.block_stride(s, b)
-            res = cur if spec.has_residual(s, b) else None
-            cur = fused_mbconv_block(
-                cur, qf[f"s{s}b{b}"], kernel=k, stride=stride, act=act,
-                x_res=res, interpret=interpret,
-            )
+            blk = q[f"stage{s}"][str(b)]
+            ce = int(qf[f"s{s}b{b}"]["wdw"].shape[-1])
+            if interpret or fusable(int(cur.shape[1]), ce, stride):
+                res = cur if spec.has_residual(s, b) else None
+                cur = fused_mbconv_block(
+                    cur, qf[f"s{s}b{b}"], kernel=k, stride=stride, act=act,
+                    x_res=res, interpret=interpret,
+                )
+            else:
+                # Outside the measured Mosaic envelope (see
+                # ops.fused_mbconv.fusable: stride-2 downsampling, unaligned
+                # spatial extents, >1-lane-tile expanded channels) the block
+                # runs the unfused op chain. The fused win is concentrated
+                # in the in-envelope blocks anyway: they hold the largest
+                # expanded tensors that otherwise round-trip HBM.
+                cur = fam.block_int8(
+                    blk, cur, cur_scale, cur_zp,
+                    kernel=k, stride=stride, residual=spec.has_residual(s, b),
+                )
+            cur_scale, cur_zp = blk["out_scale"], blk["out_zp"]
 
     last = q["last"]
     if fam is qeffnet:

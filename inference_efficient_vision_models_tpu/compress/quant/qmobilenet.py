@@ -260,6 +260,26 @@ def _conv_q(x_s, zp, in_scale, qc, stride, padding, *, groups=1, relu6, requant)
     return y
 
 
+def block_int8(blk, x_in, in_s, in_z, *, kernel, stride, residual):
+    """One inverted-residual block of the unfused int8 op chain → int8 in
+    the block-out domain. Shared by ``apply_int8`` and ``fusedpath`` (which
+    falls back to this for stride-2 blocks: Mosaic restricts strided vector
+    slices)."""
+    h, h_s, h_z = x_in, in_s, in_z
+    if "expand" in blk:
+        h = _conv_q(h, h_z, h_s, blk["expand"], 1, 0, relu6=True, requant=True)
+        h_s, h_z = blk["expand"]["out_scale"], blk["expand"]["out_zp"]
+    h = _conv_q(
+        h, h_z, h_s, blk["dw"], stride, (kernel - 1) // 2,
+        groups=int(blk["dw"]["w_q"].shape[3]), relu6=True, requant=True,
+    )
+    h_s, h_z = blk["dw"]["out_scale"], blk["dw"]["out_zp"]
+    h = _conv_q(h, h_z, h_s, blk["project"], 1, 0, relu6=False, requant=False)
+    if residual:
+        h = h + dequantize_affine_shifted(x_in, in_s, in_z)
+    return _requant(h, blk["out_scale"], blk["out_zp"])
+
+
 def apply_int8(spec: MobileNetV2Spec, q, x):
     """Static-INT8 inference → logits. Every conv (incl. depthwise) is int8
     on-device; epilogues are fused fp32 VPU ops.
@@ -279,22 +299,11 @@ def apply_int8(spec: MobileNetV2Spec, q, x):
     for s, depth in enumerate(spec.depths):
         for b in range(depth):
             blk = q[f"stage{s}"][str(b)]
-            stride = spec.block_stride(s, b)
-            in_s, in_z = cur_scale, cur_zp
-            x_in = cur
-            h, h_s, h_z = x_in, in_s, in_z
-            if "expand" in blk:
-                h = _conv_q(h, h_z, h_s, blk["expand"], 1, 0, relu6=True, requant=True)
-                h_s, h_z = blk["expand"]["out_scale"], blk["expand"]["out_zp"]
-            h = _conv_q(
-                h, h_z, h_s, blk["dw"], stride, 1,
-                groups=int(blk["dw"]["w_q"].shape[3]), relu6=True, requant=True,
+            cur = block_int8(
+                blk, cur, cur_scale, cur_zp,
+                kernel=3, stride=spec.block_stride(s, b),
+                residual=spec.has_residual(s, b),
             )
-            h_s, h_z = blk["dw"]["out_scale"], blk["dw"]["out_zp"]
-            h = _conv_q(h, h_z, h_s, blk["project"], 1, 0, relu6=False, requant=False)
-            if spec.has_residual(s, b):
-                h = h + dequantize_affine_shifted(x_in, in_s, in_z)
-            cur = _requant(h, blk["out_scale"], blk["out_zp"])
             cur_scale, cur_zp = blk["out_scale"], blk["out_zp"]
 
     cur = _conv_q(cur, cur_zp, cur_scale, q["last"], 1, 0, relu6=True, requant=True)

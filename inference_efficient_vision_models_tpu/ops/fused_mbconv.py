@@ -50,7 +50,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_mbconv_block", "pick_nb"]
+__all__ = ["fused_mbconv_block", "fusable", "pick_nb"]
 
 # SMEM scalar row layout (1, 12) f32
 _ZP_S_IN = 0      # input zero point − 128 (shifted)
@@ -95,6 +95,7 @@ def _kernel(
         xres_ref = next(it)
     out_ref = next(it)
     xf_ref = next(it)  # f32 scratch (nb, Hp, Wp, Ce) — scratch refs follow outputs
+    acc_ref = next(it)  # f32 scratch (nb, Ho, Wo, Ce) — dw accumulator
 
     h_in, w_in = hw_in
     ho, wo = hw_out
@@ -117,24 +118,43 @@ def _kernel(
     if pad:
         xf_ref[:] = jnp.zeros(xf_ref.shape, jnp.float32)
         xf_ref[:, pad : pad + h_in, pad : pad + w_in, :] = hidden
-        xv = xf_ref[:]
     else:
         xf_ref[:] = hidden
-        xv = xf_ref[:]
 
     # ---- depthwise k×k: k² shifted MACs (exact f32 integer arithmetic) ----
-    acc = None
-    for dy in range(k):
-        for dx in range(k):
-            sl = lax.slice(
-                xv,
-                (0, dy, dx, 0),
-                (nb, dy + (ho - 1) * stride + 1, dx + (wo - 1) * stride + 1, ce),
-                (1, stride, stride, 1),
-            )
-            term = sl * wdw_ref[dy * k + dx, :]
-            acc = term if acc is None else acc + term
-    y = acc * vdw_ref[0, :] + vdw_ref[1, :]
+    # One fori_loop tap per iteration: an unrolled `acc = acc + term` value
+    # chain makes Mosaic's scoped-vmem stack hold every shifted slice at
+    # once (k²·Ho·Wo·Ce f32 blew the 16 MB limit at 112² — measured 31 MB),
+    # while a loop body compiles once and keeps exactly one tap live. The
+    # TPU path is stride-1 only (see fused_mbconv_block), so the tap slice
+    # is contiguous (`pl.ds` dynamic offsets, unit stride — Mosaic rejects
+    # strided vector slices). Interpret mode keeps the general strided
+    # formulation for the stride-2 block tests.
+    if stride == 1:
+        acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+        def tap_body(i, carry):
+            dy, dx = i // k, i % k
+            sl = xf_ref[:, pl.ds(dy, ho), pl.ds(dx, wo), :]
+            acc_ref[:] = acc_ref[:] + sl * wdw_ref[pl.ds(i, 1), :]
+            return carry
+
+        lax.fori_loop(0, k * k, tap_body, 0)
+    else:
+        xv = xf_ref[:]
+        acc = None
+        for dy in range(k):
+            for dx in range(k):
+                sl = lax.slice(
+                    xv,
+                    (0, dy, dx, 0),
+                    (nb, dy + (ho - 1) * stride + 1, dx + (wo - 1) * stride + 1, ce),
+                    (1, stride, stride, 1),
+                )
+                term = sl * wdw_ref[dy * k + dx, :]
+                acc = term if acc is None else acc + term
+        acc_ref[:] = acc
+    y = acc_ref[:] * vdw_ref[0, :] + vdw_ref[1, :]
     y = _act(y, act)
     # dw requant→dequant (the intermediate quantization the unfused path has)
     yq = jnp.clip(jnp.round(y * scal_ref[0, _INV_D]) + scal_ref[0, _D_ZP], 0.0, 255.0)
@@ -166,10 +186,32 @@ def _kernel(
     out_ref[:] = (oq - 128.0).astype(jnp.int8)
 
 
-def pick_nb(n: int, hp: int, wp: int, ce: int, budget_bytes: int = 8 << 20) -> int:
-    """Images per grid step: bounded by an f32-working-set VMEM budget
-    (~6 live (Hp·Wp·Ce) f32 arrays), then snapped to a divisor of n."""
-    est = 6 * hp * wp * ce * 4
+# Scoped-VMEM ceiling requested per kernel (v5e/v6e have 128 MB VMEM; the
+# Mosaic default scope is 16 MB, far below what a whole-block working set
+# needs at large spatial extents).
+_VMEM_LIMIT = 100 << 20
+
+
+def fusable(h: int, ce: int, stride: int) -> bool:
+    """Mosaic lowering envelope for this kernel, measured per-block on a real
+    v5e (scripts/fused_probe.py, round 3): stride-1 blocks whose spatial
+    extent is sublane-aligned (h % 8 == 0) and whose expanded channel count
+    fits one lane tile (ce <= 128) compile and run; outside it Mosaic fails
+    on unaligned-lane dynamic ``vector.load`` (28², ce 176/216) or
+    infer-vector-layout for the flatten at 14²/7². The in-envelope blocks
+    are exactly the top HBM-traffic ones (112²·32, 56²·128 expanded
+    tensors — the two largest by bytes), so the bandwidth experiment still
+    tests its hypothesis; the rest run the unfused op chain."""
+    return stride == 1 and h % 8 == 0 and ce <= 128
+
+
+def pick_nb(n: int, hp: int, wp: int, ce: int, budget_bytes: int = 64 << 20) -> int:
+    """Images per grid step: bounded by an f32-working-set VMEM budget,
+    then snapped to a divisor of n. The per-image factor 16 is measured,
+    not modeled: Mosaic's scoped-stack accounting held ~15 full (Hp·Wp·Ce)
+    f32 values live for this kernel body (24.86 MB at 114²·32), so the
+    budget assumes 16 and leaves the rest of ``_VMEM_LIMIT`` as headroom."""
+    est = 16 * hp * wp * ce * 4
     nb = max(1, budget_bytes // max(est, 1))
     nb = int(min(nb, n))
     while n % nb:
@@ -193,6 +235,16 @@ def fused_mbconv_block(
     Returns the block output as (N, Ho, Wo, Co) int8 in the block-out domain.
     """
     n, h, w, _ = x_s8.shape
+    if stride != 1 and not interpret:
+        # Mosaic lowers lax.slice to vector.extract_strided_slice, which only
+        # admits unit strides — the k² shifted-MAC depthwise cannot
+        # downsample on real TPU. Callers (fusedpath) route stride-2 blocks
+        # to the unfused op chain.
+        raise NotImplementedError(
+            "fused_mbconv_block compiles on TPU only for stride=1 "
+            f"(got stride={stride}); use the unfused family apply for "
+            "downsampling blocks"
+        )
     pad = (kernel - 1) // 2
     hp, wp = h + 2 * pad, w + 2 * pad
     ho = (hp - kernel) // stride + 1
@@ -249,11 +301,15 @@ def fused_mbconv_block(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((nb, ho, wo, co), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, ho, wo, co), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((nb, hp, wp, ce), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((nb, hp, wp, ce), jnp.float32),
+            pltpu.VMEM((nb, ho, wo, ce), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=x_s8.size + n * ho * wo * co,
             transcendentals=n * ho * wo * ce if act == "silu" else 0,
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*operands)
