@@ -111,6 +111,7 @@ def run_quantize(cfg, logger, data, split):
             "fp16": lambda: engine.cast_half(jnp.float16),
             "bf16": lambda: engine.cast_half(jnp.bfloat16),
             "weight_only_int8": lambda: engine.weight_only_quantize(),
+            "weight_only_int4": lambda: engine.weight_only_quantize(bits=4),
         }
         wanted = ("fp32",) + tuple(cfg.methods)
         for method in wanted:

@@ -4,7 +4,7 @@ from .observers import (
     minmax_qparams_symmetric_per_channel,
 )
 from .engine import QuantizationEngine, quant_module
-from . import qeffnet, qmobilenet, qresnet, qvit, wo8
+from . import qeffnet, qmobilenet, qresnet, qvit, wo4, wo8
 
 __all__ = [
     "ObserverState",
@@ -16,5 +16,6 @@ __all__ = [
     "qmobilenet",
     "qeffnet",
     "qvit",
+    "wo4",
     "wo8",
 ]

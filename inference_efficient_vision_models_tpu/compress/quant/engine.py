@@ -192,20 +192,24 @@ class QuantizationEngine:
         fn = jax.jit(fwd)
         return model, functools.partial(fn, model)
 
-    def weight_only_quantize(self, dtype=jnp.bfloat16):
-        """W8A16: int8 per-channel weight storage, bf16 compute (see wo8).
-        The TPU-native serving mode for families whose full-int8 path is
-        bandwidth-bound below bf16 (MBConv nets): bf16 throughput at ~3.9×
-        weight compression."""
+    def weight_only_quantize(self, dtype=jnp.bfloat16, bits: int = 8):
+        """W8A16 (bits=8, see wo8) / W4A16 (bits=4, see wo4): quantized
+        weight storage dequantized to bf16 inside the jit. The TPU-native
+        serving mode for families whose full-int8 path is bandwidth-bound
+        below bf16 (MBConv nets): bf16 throughput at ~3.9× (int8) or ~7.4×
+        (packed int4 + group scales) weight compression."""
         import functools
 
-        from . import wo8
-
-        model = device_materialize(wo8.convert_weight_only(self.folded))
+        if bits == 4:
+            from . import wo4 as wo
+            model = device_materialize(wo.convert_weight_only_int4(self.folded))
+        else:
+            from . import wo8 as wo
+            model = device_materialize(wo.convert_weight_only(self.folded))
         spec, qmod = self.spec, self.q
 
         def fwd(m, x_u8):
-            f = wo8.dequantize(m, dtype)
+            f = wo.dequantize(m, dtype)
             return qmod.apply_folded(
                 spec, f, normalize_images(x_u8, dtype)
             ).astype(jnp.float32)

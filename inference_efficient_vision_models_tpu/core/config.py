@@ -242,7 +242,9 @@ class QuantConfig(BaseConfig):
         self.qat_lr = 1e-5
         # weight_only_int8 (W8A16) is the documented serving pick for the
         # MBConv families (README/PARITY), so a default stage-4 run must
-        # produce its artifact for Predictor.from_artifact.
+        # produce its artifact for Predictor.from_artifact. Also available:
+        # 'weight_only_int4' (W4A16, ~7.4× weight compression at bf16
+        # throughput — compress/quant/wo4) and 'bf16'.
         self.methods = ("static_int8", "dynamic_int8", "fp16", "weight_only_int8")
         self.fold_id = 0
         self.teacher_exp_path: Optional[str] = None

@@ -63,11 +63,15 @@ def load_quantized(fold_dir: str, method: str, *, mesh=None):
     else:
         model = device_materialize(model)
 
-    from .compress.quant import wo8
+    from .compress.quant import wo4, wo8
 
-    if wo8.is_weight_only(model):  # W8A16: int8 weights, bf16 compute
+    # W4A16 artifacts may also carry int8 fallback leaves — check int4 first
+    wo = wo4 if wo4.is_weight_only_int4(model) else (
+        wo8 if wo8.is_weight_only(model) else None
+    )
+    if wo is not None:  # W8A16/W4A16: quantized weights, bf16 compute
         def wo_fwd(m, x_u8):
-            f = wo8.dequantize(m, jnp.bfloat16)
+            f = wo.dequantize(m, jnp.bfloat16)
             return qmod.apply_folded(
                 spec, f, normalize_images(x_u8, jnp.bfloat16)
             ).astype(jnp.float32)

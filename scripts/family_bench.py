@@ -16,7 +16,7 @@ from jax import lax
 from inference_efficient_vision_models_tpu.models import create_model
 from inference_efficient_vision_models_tpu.compress.prune import prune_model
 from inference_efficient_vision_models_tpu.compress.quant.engine import QuantizationEngine
-from inference_efficient_vision_models_tpu.compress.quant import wo8
+from inference_efficient_vision_models_tpu.compress.quant import wo4, wo8
 from inference_efficient_vision_models_tpu.data.synthetic import make_synthetic_neudet
 from inference_efficient_vision_models_tpu.ops.space_to_depth import space_to_depth_u8
 from inference_efficient_vision_models_tpu.models.widths import ResNetSpec
@@ -57,6 +57,7 @@ for name in ("resnet18", "mobilenet_v2", "efficientnet_b0"):
     qmodel, _ = eng.static_quantize(make_synthetic_neudet(32, 224, seed=0))
     qmodel = device_materialize(qmodel)
     wmodel = device_materialize(wo8.convert_weight_only(eng.folded))
+    w4model = device_materialize(wo4.convert_weight_only_int4(eng.folded))
     fold16 = device_materialize(jax.tree.map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, eng.folded))
     if isinstance(pspec, ResNetSpec):
@@ -70,8 +71,12 @@ for name in ("resnet18", "mobilenet_v2", "efficientnet_b0"):
     rows["w8a16"] = timeit(chain(
         lambda xx: qmod.apply_folded(pspec, wo8.dequantize(wmodel, jnp.bfloat16),
                                      xx.astype(jnp.bfloat16) / 255.0)), xf)
+    rows["w4a16"] = timeit(chain(
+        lambda xx: qmod.apply_folded(pspec, wo4.dequantize(w4model, jnp.bfloat16),
+                                     xx.astype(jnp.bfloat16) / 255.0)), xf)
     rows["int8"] = timeit(chain(lambda xx: qmod.apply_int8(pspec, qmodel, xx)), x_int8)
     sizes = {"bf16": eng.size_mb(fold16), "w8a16": eng.size_mb(wmodel),
+             "w4a16": eng.size_mb(w4model),
              "int8": eng.size_mb(qmodel), "fp32": eng.size_mb(eng.folded)}
     for m, ms in rows.items():
         print(f"{name:16s} {m:6s} {ms:7.2f} ms/b{B}  {B/ms*1e3:10,.0f} img/s  {sizes[m]:6.2f} MB")

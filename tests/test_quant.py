@@ -269,3 +269,118 @@ def test_weight_only_int8_close_and_roundtrips(model_name, tmp_path):
     np.testing.assert_allclose(
         np.asarray(fn2(jnp.asarray(imgs))), got, rtol=2e-2, atol=2e-2
     )
+
+
+# ----------------------------------------------------------------------------
+# weight-only int4 (W4A16) — packed nibbles, group-wise scales
+# ----------------------------------------------------------------------------
+
+
+def test_wo4_pack_unpack_exact():
+    """The nibble pack/unpack is lossless over the full int4 range and the
+    group-scale dequant error is bounded by half a quantization step."""
+    from inference_efficient_vision_models_tpu.compress.quant import wo4
+
+    rng = np.random.default_rng(0)
+    for shape in [(3, 3, 3, 32), (3, 3, 1, 32), (1, 1, 96, 24), (1280, 6), (7, 64)]:
+        w = rng.normal(0, 0.5, shape).astype(np.float32)
+        leaf = wo4.quantize_weight_int4(w)
+        assert leaf["q4"].shape == shape[:-1] + (shape[-1] // 2,)
+        r = int(np.prod(shape[:-1]))
+        g = r // leaf["s"].shape[0]
+        assert r % leaf["s"].shape[0] == 0 and 1 <= g <= 64
+        w_hat = np.asarray(wo4._unpack_scale(leaf, jnp.float32))
+        assert w_hat.shape == w.shape
+        # per-element error <= s/2 for its (group, channel) scale
+        s_full = np.repeat(leaf["s"], g, axis=0).reshape(shape)
+        assert np.all(np.abs(w_hat - w) <= s_full / 2 + 1e-7)
+        # packed ints survive exactly: re-quantizing w_hat gives same nibbles
+        again = wo4.quantize_weight_int4(w_hat)
+        np.testing.assert_array_equal(again["q4"], leaf["q4"])
+
+
+def _iter_wpaths(tree, path=()):
+    """Yield (path, array) for every quantizable 'w' leaf (ndim>=2 float32)."""
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            if k == "w" and not isinstance(v, dict):
+                a = np.asarray(v)
+                if a.ndim >= 2 and a.dtype == np.float32:
+                    yield path + (k,), a
+                    continue
+            yield from _iter_wpaths(v, path + (str(k),))
+
+
+def test_wo4_odd_out_falls_back_to_int8():
+    from inference_efficient_vision_models_tpu.compress.quant import wo4
+
+    folded = {"a": {"w": np.ones((4, 3), np.float32)},  # odd out -> int8 leaf
+              "b": {"w": np.ones((4, 8), np.float32)}}
+    m = wo4.convert_weight_only_int4(folded)
+    assert set(m["a"]["w"].keys()) == {"q", "s"}
+    assert set(m["b"]["w"].keys()) == {"q4", "s"}
+    deq = wo4.dequantize(m, jnp.float32)
+    # int8 fallback scale is max|w|/127.5, so 1.0 -> 127/127.5 (half-step err)
+    np.testing.assert_allclose(np.asarray(deq["a"]["w"]), folded["a"]["w"], atol=1 / 127)
+    np.testing.assert_allclose(np.asarray(deq["b"]["w"]), folded["b"]["w"], atol=1e-6)
+
+
+@pytest.mark.parametrize("model_name", ["resnet18", "efficientnet_b0"])
+def test_weight_only_int4_close_and_roundtrips(model_name, tmp_path):
+    """W4A16 (compress/quant/wo4): packed-int4 group-scaled weights + bf16
+    compute track the folded fp32 forward; ~7x smaller than fp32; artifact
+    round-trips msgpack and the serving loader auto-detects it."""
+    import logging
+    import json
+    import os
+
+    from flax import serialization
+
+    from inference_efficient_vision_models_tpu.compress.quant import wo4
+    from inference_efficient_vision_models_tpu.data.pipeline import normalize_images
+    from inference_efficient_vision_models_tpu.serving import load_quantized
+
+    class Cfg:
+        batch_size = 8
+        calibration_images = 16
+        DEBUG_MODE = False
+        image_size = (64, 64)
+        compute_dtype = "float32"
+
+    spec, params, state = create_model(model_name, num_classes=6)
+    eng = QuantizationEngine(Cfg(), spec, params, state, logging.getLogger("q"))
+    model, fn = eng.weight_only_quantize(bits=4)
+    assert wo4.is_weight_only_int4(model)
+
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 255, (8, 64, 64, 3)).astype(np.uint8)
+    got = np.asarray(fn(jnp.asarray(imgs)))
+    ref = np.asarray(
+        jax.jit(
+            lambda m, x: eng.q.apply_folded(spec, m, normalize_images(x))
+        )(eng.folded, jnp.asarray(imgs))
+    )
+    if model_name == "resnet18":
+        # random-init EffNet logits have ~4e-5 std (deep sigmoid-SE squash),
+        # so argmax agreement is meaningless noise there; check it on ResNet
+        assert (got.argmax(1) == ref.argmax(1)).mean() >= 0.75
+    # every dequantized weight is within half an int4 step of its fp32 value
+    deq = jax.device_get(wo4.dequantize(model, jnp.float32))
+    flat_f = {"/".join(p): v for p, v in _iter_wpaths(jax.device_get(eng.folded))}
+    for path, v in _iter_wpaths(deq):
+        w = flat_f["/".join(path)]
+        step = np.abs(w).max() / 7.0 if w.size else 0.0
+        assert np.abs(v - w).max() <= step / 2 + 1e-6, path
+    # ~7x smaller weights than the fp32 folded model (int4 + 6% scales)
+    assert eng.size_mb(model) < eng.size_mb(eng.folded) / 5.0
+
+    fold_dir = str(tmp_path)
+    with open(os.path.join(fold_dir, "model_weight_only_int4.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(model)))
+    with open(os.path.join(fold_dir, "spec.json"), "w") as f:
+        json.dump(spec.to_dict(), f)
+    spec2, model2, fn2, pre = load_quantized(fold_dir, "weight_only_int4")
+    assert pre is None
+    np.testing.assert_allclose(
+        np.asarray(fn2(jnp.asarray(imgs))), got, rtol=2e-2, atol=2e-2
+    )
