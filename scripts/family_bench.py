@@ -46,7 +46,7 @@ def timeit(fn, x, k=16, iters=5):
 
 B = 256
 x_np = np.random.default_rng(0).integers(0, 255, (B, 224, 224, 3)).astype(np.uint8)
-for name in ("resnet18", "mobilenet_v2", "efficientnet_b0"):
+for name in ("resnet18", "mobilenet_v2", "efficientnet_b0", "vit_small_patch16_224"):
     with jax.default_device(jax.devices("cpu")[0]):
         spec, params, state = create_model(name, num_classes=6)
         pspec, pp, ps = prune_model(spec, params, state, ratio=0.11 if name == "resnet18" else 0.1,
