@@ -107,6 +107,10 @@ def run_quantize(cfg, logger, data, split):
         methods = {
             "fp32": lambda: (engine.folded, None),
             "static_int8": lambda: engine.static_quantize(calib, train_data=train_d),
+            # mixed executor over the same int8 conversion (MBConv families)
+            "static_int8_mixed": lambda: engine.static_quantize(
+                calib, train_data=train_d, executor="mixed"
+            ),
             "dynamic_int8": lambda: engine.dynamic_quantize(),
             "fp16": lambda: engine.cast_half(jnp.float16),
             "bf16": lambda: engine.cast_half(jnp.bfloat16),

@@ -116,12 +116,17 @@ class QuantizationEngine:
         self,
         calib_data: Tuple[np.ndarray, np.ndarray],
         train_data: Tuple[np.ndarray, np.ndarray] | None = None,
+        *,
+        executor: str = "int8",
     ):
         """Calibrate on ≤cfg.calibration_images then convert to int8.
         The range estimator comes from cfg.observer
         ('minmax' | 'percentile' | 'entropy', see calib.calibrate_taps).
         With cfg.qat_epochs > 0 and ``train_data``, a quantization-aware
-        fine-tune runs between calibration and conversion (see qat.py)."""
+        fine-tune runs between calibration and conversion (see qat.py).
+        ``executor='mixed'`` returns the mixed-precision forward (int8 1×1
+        convs + bf16 depthwise, MBConv families only) over the SAME int8
+        artifact — see qeffnet/qmobilenet.apply_int8_mixed."""
         loader = Batches(calib_data[0], calib_data[1], self.cfg.batch_size)
         observers = self.q.calibrate(
             self.spec,
@@ -151,7 +156,10 @@ class QuantizationEngine:
         )
         qmodel = device_materialize(qmodel)
         spec, qmod = self.spec, self.q
-        fn = jax.jit(lambda q, x: qmod.apply_int8(spec, q, x))
+        apply = qmod.apply_int8 if executor == "int8" else getattr(
+            qmod, f"apply_int8_{executor}"
+        )
+        fn = jax.jit(lambda q, x: apply(spec, q, x))
         return qmodel, functools.partial(fn, qmodel)
 
     def dynamic_quantize(self):

@@ -35,7 +35,7 @@ from .observers import (
 
 __all__ = [
     "fold", "apply_folded", "calibrate", "convert_static_int8", "apply_int8",
-    "serializable", "restore_derived",
+    "apply_int8_mixed", "serializable", "restore_derived",
 ]
 
 
@@ -280,12 +280,60 @@ def block_int8(blk, x_in, in_s, in_z, *, kernel, stride, residual):
     return _requant(h, blk["out_scale"], blk["out_zp"])
 
 
+def _dwconv_bf16(h, h_s, h_z, qc, kernel: int, stride: int):
+    """Depthwise conv of the MIXED path: int8 input dequantized in-graph
+    (XLA fuses the affine into the conv read), bf16 weights/compute, fp32
+    accumulate + bias. Zero-padding is exact: dequant(zp) == 0."""
+    pad = (kernel - 1) // 2
+    h_f = dequantize_affine_shifted(h, h_s, h_z).astype(jnp.bfloat16)
+    w = (qc["w_q"].astype(jnp.float32) * qc["w_scale"]).astype(jnp.bfloat16)
+    acc = lax.conv_general_dilated(
+        h_f, w, (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=int(qc["w_q"].shape[3]),
+        preferred_element_type=jnp.float32,
+    )
+    return acc + qc["bias"]
+
+
+def block_mixed(blk, x_in, in_s, in_z, *, kernel, stride, residual):
+    """MIXED-precision inverted-residual block: the 1×1 expand/project stay
+    int8 (MXU at 2× the bf16 MAC rate — they carry ~90% of the FLOPs), the
+    depthwise conv runs bf16 (REPORT.md's roofline blames the int8 dw
+    requant/dequant HBM round-trips for full-int8 losing to bf16 on the
+    MBConv families). Same calibrated activation domains as block_int8."""
+    h, h_s, h_z = x_in, in_s, in_z
+    if "expand" in blk:
+        h = _conv_q(h, h_z, h_s, blk["expand"], 1, 0, relu6=True, requant=True)
+        h_s, h_z = blk["expand"]["out_scale"], blk["expand"]["out_zp"]
+    y = jnp.clip(_dwconv_bf16(h, h_s, h_z, blk["dw"], kernel, stride), 0.0, 6.0)
+    h = _requant(y, blk["dw"]["out_scale"], blk["dw"]["out_zp"])
+    h = _conv_q(
+        h, blk["dw"]["out_zp"], blk["dw"]["out_scale"], blk["project"], 1, 0,
+        relu6=False, requant=False,
+    )
+    if residual:
+        h = h + dequantize_affine_shifted(x_in, in_s, in_z)
+    return _requant(h, blk["out_scale"], blk["out_zp"])
+
+
 def apply_int8(spec: MobileNetV2Spec, q, x):
     """Static-INT8 inference → logits. Every conv (incl. depthwise) is int8
     on-device; epilogues are fused fp32 VPU ops.
 
     With a fold_input model (stem carries "e"), ``x`` is RAW uint8 NHWC;
     otherwise normalized fp32 (affine-quantized here)."""
+    return _apply_with_blocks(spec, q, x, block_int8)
+
+
+def apply_int8_mixed(spec: MobileNetV2Spec, q, x):
+    """MIXED-precision executor over the SAME static-int8 artifact: int8
+    1×1 convs + bf16 depthwise (see block_mixed). Pick per deployment —
+    no re-calibration or new artifact needed."""
+    return _apply_with_blocks(spec, q, x, block_mixed)
+
+
+def _apply_with_blocks(spec: MobileNetV2Spec, q, x, block_fn):
     stem = q["stem"]
     if "e" in stem:
         y = stemfold.apply_u8_stem(stem, x, stride=2, pad=1, relu6=True)
@@ -299,7 +347,7 @@ def apply_int8(spec: MobileNetV2Spec, q, x):
     for s, depth in enumerate(spec.depths):
         for b in range(depth):
             blk = q[f"stage{s}"][str(b)]
-            cur = block_int8(
+            cur = block_fn(
                 blk, cur, cur_scale, cur_zp,
                 kernel=3, stride=spec.block_stride(s, b),
                 residual=spec.has_residual(s, b),

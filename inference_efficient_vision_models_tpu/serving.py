@@ -53,7 +53,14 @@ def load_quantized(fold_dir: str, method: str, *, mesh=None):
     with open(os.path.join(fold_dir, "spec.json")) as f:
         spec = spec_from_dict(json.load(f))
     qmod = quant_module(spec)
-    with open(os.path.join(fold_dir, f"model_{method}.msgpack"), "rb") as f:
+    # "<kind>_mixed" selects an alternate executor over the base artifact —
+    # e.g. static_int8_mixed (int8 1×1 + bf16 depthwise) reuses either its
+    # own CLI-saved file or the plain static_int8 one.
+    mixed = method.endswith("_mixed")
+    path = os.path.join(fold_dir, f"model_{method}.msgpack")
+    if mixed and not os.path.exists(path):
+        path = os.path.join(fold_dir, f"model_{method[: -len('_mixed')]}.msgpack")
+    with open(path, "rb") as f:
         model = serialization.msgpack_restore(f.read())
     model = qmod.restore_derived(model)
     if mesh is not None:
@@ -77,8 +84,9 @@ def load_quantized(fold_dir: str, method: str, *, mesh=None):
             ).astype(jnp.float32)
 
         return spec, model, functools.partial(jax.jit(wo_fwd), model), None
-    if "input" in model:  # static int8
-        fn = jax.jit(lambda q, x: qmod.apply_int8(spec, q, x))
+    if "input" in model:  # static int8 (optionally the mixed executor)
+        apply = qmod.apply_int8_mixed if mixed else qmod.apply_int8
+        fn = jax.jit(lambda q, x: apply(spec, q, x))
         # only the ResNet 7×7 stem uses the space-to-depth host layout
         pre = s2d_preprocess if isinstance(spec, ResNetSpec) else None
         return spec, model, functools.partial(fn, model), pre

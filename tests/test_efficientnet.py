@@ -281,6 +281,14 @@ def test_static_int8_close_and_roundtrips():
     )
     np.testing.assert_allclose(lq2, lq, rtol=1e-5, atol=1e-5)
 
+    # mixed executor (int8 1×1 + bf16 dw + fp32 SE) over the SAME artifact
+    lm = np.asarray(
+        jax.jit(lambda q, x: qeffnet.apply_int8_mixed(spec, q, x))(
+            q2, jnp.asarray(imgs)
+        )
+    )
+    assert (lm.argmax(1) == lf.argmax(1)).mean() >= 0.9
+
 
 def test_dynamic_and_half_paths():
     import logging

@@ -300,3 +300,29 @@ def test_static_artifact_roundtrip_mbv2(tmp_path):
     )
     ref = np.asarray(q_fn(jnp.asarray(imgs[:4])))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_static_int8_mixed_close_to_fp32_mbv2():
+    """Mixed executor (int8 1×1 convs + bf16 depthwise) runs over the SAME
+    static-int8 artifact and tracks fp32 within the full-int8 bounds."""
+    import logging
+
+    spec, params, state = create_model("mobilenet_v2", num_classes=6)
+    rng = np.random.default_rng(11)
+    imgs = rng.integers(0, 255, (64, 64, 64, 3)).astype(np.uint8)
+    eng = QuantizationEngine(_Cfg(), spec, params, state, logging.getLogger("q"))
+    qmodel, q_fn = eng.static_quantize(
+        (imgs, np.zeros(64, np.int32)), executor="mixed"
+    )
+
+    x8 = jnp.asarray(imgs[:8])
+    ref = np.asarray(qmobilenet.apply_folded(spec, eng.folded, normalize_images(x8)))
+    got = np.asarray(q_fn(x8))
+    err = np.abs(got - ref) / (np.abs(ref).max() + 1e-6)
+    assert err.max() < 0.25, err.max()
+    assert (got.argmax(1) == ref.argmax(1)).mean() >= 0.75
+    # the engine fn IS the mixed executor (not full int8) over the artifact
+    direct = np.asarray(
+        jax.jit(lambda q, xx: qmobilenet.apply_int8_mixed(spec, q, xx))(qmodel, x8)
+    )
+    np.testing.assert_allclose(got, direct, rtol=1e-5, atol=1e-5)

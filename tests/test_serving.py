@@ -62,6 +62,32 @@ def test_predictor_all_artifact_kinds(tmp_path):
         assert logits.shape == (6, 6) and np.isfinite(logits).all(), method
 
 
+def test_predictor_mixed_falls_back_to_int8_artifact(tmp_path):
+    """method='static_int8_mixed' reuses model_static_int8.msgpack when no
+    dedicated file exists and runs the mixed executor over it."""
+    import jax
+
+    from inference_efficient_vision_models_tpu.cli.quantize import _save_qmodel
+    from inference_efficient_vision_models_tpu.compress.quant import qmobilenet
+
+    spec, params, state = create_model("mobilenet_v2", num_classes=6)
+    rng = np.random.default_rng(2)
+    imgs = rng.integers(0, 255, (16, 64, 64, 3)).astype(np.uint8)
+    eng = QuantizationEngine(_Cfg(), spec, params, state, logging.getLogger("s"))
+    qmodel, _ = eng.static_quantize((imgs, np.zeros(16, np.int32)))
+    fold = str(tmp_path / "fold_0")
+    _save_qmodel(fold, "static_int8", qmodel, spec=spec)
+
+    p = Predictor.from_artifact(fold, "static_int8_mixed", batch_size=4)
+    logits = p.predict_logits(imgs[:4])
+    direct = np.asarray(
+        jax.jit(lambda q, x: qmobilenet.apply_int8_mixed(spec, q, x))(
+            qmodel, jnp.asarray(imgs[:4])
+        )
+    )
+    np.testing.assert_allclose(logits, direct, rtol=1e-5, atol=1e-5)
+
+
 def test_predictor_stream(tmp_path):
     fold, imgs, _ = _save_artifacts(tmp_path)
     p = Predictor.from_artifact(fold, "static_int8", batch_size=4)
