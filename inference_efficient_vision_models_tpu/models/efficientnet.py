@@ -68,6 +68,10 @@ _VARIANTS = {
     "efficientnet_b1": (1.0, 1.1),
     "efficientnet_b2": (1.1, 1.2),
     "efficientnet_b3": (1.2, 1.4),
+    "efficientnet_b4": (1.4, 1.8),
+    "efficientnet_b5": (1.6, 2.2),
+    "efficientnet_b6": (1.8, 2.6),
+    "efficientnet_b7": (2.0, 3.1),
 }
 
 
@@ -162,7 +166,7 @@ def _freeze(nested) -> Tuple[Tuple[int, ...], ...]:
 def efficientnet_spec(
     name: str = "efficientnet_b0", num_classes: int = 6, in_chans: int = 3
 ) -> EfficientNetSpec:
-    """Stock torchvision-compatible EfficientNet-B0/B1/B2/B3 descriptor."""
+    """Stock torchvision-compatible EfficientNet-B0…B7 descriptor."""
     if name not in _VARIANTS:
         raise ValueError(f"unknown efficientnet variant {name!r}; have {sorted(_VARIANTS)}")
     wm, dm = _VARIANTS[name]

@@ -109,6 +109,7 @@ def resnet_spec(name: str, num_classes: int = 6, in_chans: int = 3) -> ResNetSpe
         "resnet34": ("basic", (3, 4, 6, 3), 1),
         "resnet50": ("bottleneck", (3, 4, 6, 3), 4),
         "resnet101": ("bottleneck", (3, 4, 23, 3), 4),
+        "resnet152": ("bottleneck", (3, 8, 36, 3), 4),
     }
     if name not in table:
         raise ValueError(f"unknown resnet variant: {name!r} (have {sorted(table)})")

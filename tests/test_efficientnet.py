@@ -41,6 +41,26 @@ def test_variant_multipliers():
     assert b2.depths == (2, 3, 3, 4, 4, 5, 2)
 
 
+def test_b4_b7_variant_tables():
+    """Compound-scaled variants match torchvision _efficientnet_conf
+    (width/depth multipliers + divisible-by-8 rounding + ceil repeats)."""
+    b4 = efficientnet_spec("efficientnet_b4", num_classes=6)
+    assert b4.stem_width == 48                       # 32 * 1.4 → 48
+    assert b4.stage_widths == (24, 32, 56, 112, 160, 272, 448)
+    assert b4.depths == (2, 4, 4, 6, 6, 8, 2)        # ceil(n * 1.8)
+    assert b4.last_width == 4 * 448
+    b7 = efficientnet_spec("efficientnet_b7", num_classes=6)
+    assert b7.stem_width == 64
+    assert b7.stage_widths == (32, 48, 80, 160, 224, 384, 640)
+    assert b7.depths == (4, 7, 7, 10, 10, 13, 4)     # ceil(n * 3.1)
+    # spec JSON round-trip and a tiny forward keep the big variants honest
+    assert spec_from_dict(b4.to_dict()) == b4
+    spec, params, state = create_model("efficientnet_b4", num_classes=6)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 64, 64, 3)), jnp.float32)
+    logits, _ = effnet_apply(spec, params, state, x, train=False)
+    assert logits.shape == (1, 6) and np.isfinite(np.asarray(logits)).all()
+
+
 def test_forward_shapes_and_param_count():
     spec, params, state = create_model("efficientnet_b0", num_classes=6)
     # matches tests/torch_ref.efficientnet_b0(num_classes=6) exactly

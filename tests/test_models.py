@@ -26,6 +26,7 @@ from inference_efficient_vision_models_tpu.models.torch_import import (
     ("resnet34", 21_797_672),
     ("resnet50", 25_557_032),
     ("resnet101", 44_549_160),
+    ("resnet152", 60_192_808),
 ])
 def test_param_count_matches_torchvision(name, expected_params):
     spec, params, state = create_model(name, num_classes=1000)
