@@ -10,6 +10,7 @@ persisted CV split, per-fold artifact dirs. Adds ``key=value`` CLI overrides
 from __future__ import annotations
 
 import ast
+import os
 import sys
 from typing import Dict, Tuple, Type
 
@@ -18,6 +19,24 @@ import numpy as np
 from ..core import artifacts, get_logger, set_seed
 from ..data import load_dataset
 from ..data.splits import create_fold_split_idx
+
+
+def _apply_platform_override() -> None:
+    """Honor ``IEVM_PLATFORM=cpu|tpu`` for the stage CLIs.
+
+    ``JAX_PLATFORMS`` alone is ignored when a TPU platform plugin is
+    registered; ``jax.config.update("jax_platforms", ...)`` before first
+    backend use is authoritative (same mechanism as tests/conftest.py). Lets
+    the pipeline run on the host backend when the TPU link is unavailable.
+    """
+    plat = os.environ.get("IEVM_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
+_apply_platform_override()
 
 
 def parse_cli_kwargs(argv=None) -> Dict:

@@ -150,6 +150,19 @@ class QuantizationEngine:
                 logger=self.logger,
                 debug=self.cfg.DEBUG_MODE,
             )
+        ada_iters = int(getattr(self.cfg, "adaround_iters", 0))
+        if ada_iters > 0:
+            from .adaround import adaround_refine
+
+            self.logger.info("AdaRound: %d steps on the calibration split", ada_iters)
+            folded = adaround_refine(
+                self.spec, self.q, folded, observers, calib_data,
+                iters=2 if self.cfg.DEBUG_MODE else ada_iters,
+                lr=float(getattr(self.cfg, "adaround_lr", 1e-2)),
+                batch_size=self.cfg.batch_size,
+                reg_weight=float(getattr(self.cfg, "adaround_reg", 0.01)),
+                logger=self.logger,
+            )
         qmodel = self.q.convert_static_int8(
             self.spec, folded, observers,
             image_size=tuple(self.cfg.image_size),

@@ -46,6 +46,10 @@ __all__ = [
     "apply_int8_mixed", "serializable", "restore_derived",
 ]
 
+# conversion transforms the stem kernel (normalization fold, stemfold)
+# before quantizing — AdaRound can't target its grid (adaround.py)
+ADAROUND_SKIP = ("stem",)
+
 
 def _silu(y):
     return y * jax.nn.sigmoid(y)

@@ -38,6 +38,10 @@ __all__ = [
     "apply_int8_mixed", "serializable", "restore_derived",
 ]
 
+# conversion transforms the stem kernel (normalization fold, stemfold)
+# before quantizing — AdaRound can't target its grid (adaround.py)
+ADAROUND_SKIP = ("stem",)
+
 
 # --------------------------------------------------------------------------
 # folded fp32 forward (with activation taps for calibration)

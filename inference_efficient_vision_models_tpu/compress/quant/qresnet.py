@@ -40,6 +40,10 @@ from .observers import (
     quantize_weight_per_channel,
 )
 
+# conversion transforms the stem kernel (normalization fold + s2d repack,
+# stemfold) before quantizing — AdaRound can't target its grid (adaround.py)
+ADAROUND_SKIP = ("conv1",)
+
 # --------------------------------------------------------------------------
 # tap collection (on the folded fp32 model)
 # --------------------------------------------------------------------------

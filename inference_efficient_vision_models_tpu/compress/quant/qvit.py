@@ -41,6 +41,10 @@ from .observers import (
 
 _DENSE = ("qkv", "proj", "mlp1", "mlp2")
 
+# conversion transforms the patch-embed kernel (normalization fold,
+# stemfold) before quantizing — AdaRound can't target its grid (adaround.py)
+ADAROUND_SKIP = ("patch_embed",)
+
 
 def _qdense_params(d) -> Dict:
     w = np.asarray(d["w"], np.float32)

@@ -240,6 +240,12 @@ class QuantConfig(BaseConfig):
         # N epochs of STE fake-quant fine-tuning on the fold's train split.
         self.qat_epochs = 0
         self.qat_lr = 1e-5
+        # AdaRound (compress/quant/adaround): learned per-weight rounding
+        # optimized on the calibration images only (no labels, weights
+        # frozen). 0 = nearest rounding (reference parity).
+        self.adaround_iters = 0
+        self.adaround_lr = 1e-2
+        self.adaround_reg = 0.01
         # weight_only_int8 (W8A16) is the documented serving pick for the
         # MBConv families (README/PARITY), so a default stage-4 run must
         # produce its artifact for Predictor.from_artifact. Also available:

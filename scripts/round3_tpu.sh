@@ -30,6 +30,14 @@ timeout 3600 python quantization/main.py experiment_name=ef2 model_type=pruned \
     "methods=('weight_only_int4','weight_only_int8')" 2>&1 | tee logs/ef2_w4.log
 cp output/quantization/ef2/quantization_summary.csv $AB/ef2_w4a16.csv
 
+# ---- 3b. AdaRound A/B on the EfficientNet static-int8 path ---------------
+# PTQ-only accuracy rescue (no labels, calibration images only) next to the
+# QAT number: ef2 static int8 with adaround_iters=300 vs the plain menu run.
+timeout 2400 python quantization/main.py experiment_name=ef2 model_type=pruned \
+    pruning_exp_name=ef2 student_model=efficientnet_b0 $COMMON \
+    "methods=('static_int8',)" adaround_iters=300 2>&1 | tee logs/ef2_adaround.log
+cp output/quantization/ef2/quantization_summary.csv $AB/ef2_adaround.csv 2>/dev/null
+
 # ---- 4. ViT vt1 teacher + observer A/B (second family for VERDICT ask 2) --
 timeout 5400 python teacher_training/main.py choice=1 experiment_name=vt1 \
     model_name=vit_small_patch16_224 $COMMON epochs=8 learning_rate=3e-4 \
