@@ -212,16 +212,26 @@ def main():
     stream_imgs = np.random.default_rng(2).integers(
         0, 255, (n_stream, 224, 224, 3)
     ).astype(np.uint8)
-    pred = Predictor(
+    def stream_rate(pred):
+        pred.predict_logits(stream_imgs[: 2 * BATCH])  # warm
+        dts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pred.predict_logits(stream_imgs)
+            dts.append(time.perf_counter() - t0)
+        return n_stream / float(np.median(dts))
+
+    # two runtime layouts, best one is the headline: (a) host s2d preprocess
+    # (native C++ row-interleave when built — numpy's transpose alone costs
+    # ~10x one chip forward per batch on one core); (b) raw uint8 straight
+    # to the device, space_to_depth traced into the program (zero host work)
+    stream_ips_host = stream_rate(Predictor(
         fwd, host_preprocess=space_to_depth_u8, batch_size=BATCH, prefetch=3
-    )
-    pred.predict_logits(stream_imgs[: 2 * BATCH])  # warm
-    stream_dts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        pred.predict_logits(stream_imgs)
-        stream_dts.append(time.perf_counter() - t0)
-    stream_ips = n_stream / float(np.median(stream_dts))
+    ))
+    stream_ips_dev = stream_rate(Predictor(
+        fwd, host_preprocess=None, batch_size=BATCH, prefetch=3
+    ))
+    stream_ips = max(stream_ips_host, stream_ips_dev)
 
     # ---- device-only times (chained: dispatch amortized to zero) ----------
     device_ms = _chained_ms(lambda xx: qresnet.apply_int8(pspec, qmodel, xx), x, K)
@@ -319,6 +329,8 @@ def main():
         "batch_size": BATCH,
         "batch_ms": round(batch_ms, 3),
         "pipelined_img_per_s_with_host": round(stream_ips, 1),
+        "stream_img_per_s_host_s2d": round(stream_ips_host, 1),
+        "stream_img_per_s_device_s2d": round(stream_ips_dev, 1),
         "device_ms_per_batch": round(device_ms, 3),
         "device_img_per_s": round(device_ips, 1),
         "device_p50_ms_bs1": round(device_ms_bs1, 4),

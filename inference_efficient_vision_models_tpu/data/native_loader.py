@@ -56,6 +56,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.ievm_decode_one.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.ievm_s2d_batch.restype = ctypes.c_int
+    lib.ievm_s2d_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+    ]
     return lib
 
 
@@ -93,3 +98,26 @@ def decode_batch_native(
         num_threads,
     )
     return out, status.astype(bool)
+
+
+def s2d_batch_native(
+    imgs: np.ndarray, num_threads: int = 0
+) -> Optional[np.ndarray]:
+    """(N, H, W, 3) uint8 → (N, H/2, W/2, 12) via the C++ row-interleave,
+    or None when the native lib is unavailable (caller falls back to numpy).
+    ``num_threads=0`` → one thread per available core (capped at 16)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, h, w, c = imgs.shape
+    if c != 3 or h % 2 or w % 2:
+        return None
+    imgs = np.ascontiguousarray(imgs)
+    out = np.empty((n, h // 2, w // 2, 12), dtype=np.uint8)
+    if num_threads <= 0:
+        num_threads = min(os.cpu_count() or 1, 16)
+    ok = lib.ievm_s2d_batch(
+        imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), num_threads,
+    )
+    return out if ok == n else None

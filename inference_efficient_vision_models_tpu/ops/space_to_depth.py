@@ -20,15 +20,43 @@ import numpy as np
 
 
 def space_to_depth_u8(imgs: np.ndarray, factor: int = 2) -> np.ndarray:
-    """(B, H, W, C) uint8 → (B, H/f, W/f, f·f·C), host-side."""
+    """(B, H, W, C) uint8 → (B, H/f, W/f, f·f·C), host-side.
+
+    The serving hot path (f=2, C=3, uint8) routes through the native C++
+    row-interleave when available (native/dataloader.cpp ievm_s2d_batch):
+    numpy's strided transpose runs ~0.6 GB/s single-thread, ~10× slower
+    than one chip forward per batch, and would bottleneck the Predictor's
+    sustained stream. The numpy path remains the reference semantics
+    (tests assert byte equality)."""
     b, h, w, c = imgs.shape
     assert h % factor == 0 and w % factor == 0
+    if factor == 2 and c == 3 and imgs.dtype == np.uint8:
+        from ..data.native_loader import s2d_batch_native
+
+        out = s2d_batch_native(imgs)
+        if out is not None:
+            return out
     out = (
         imgs.reshape(b, h // factor, factor, w // factor, factor, c)
         .transpose(0, 1, 3, 2, 4, 5)
         .reshape(b, h // factor, w // factor, factor * factor * c)
     )
     return np.ascontiguousarray(out)
+
+
+def space_to_depth_device(x, factor: int = 2):
+    """Jittable space-to-depth: same layout contract as space_to_depth_u8
+    but traced into the device program (one XLA relayout fused with the
+    consuming stem conv). Lets the serving path take RAW uint8 batches —
+    zero host preprocess — when host cores are the scarce resource."""
+    import jax.numpy as jnp
+
+    b, h, w, c = x.shape
+    return (
+        jnp.reshape(x, (b, h // factor, factor, w // factor, factor, c))
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, h // factor, w // factor, factor * factor * c)
+    )
 
 
 def remap_stem_weights_s2d(w: np.ndarray) -> np.ndarray:

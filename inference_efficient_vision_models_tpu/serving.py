@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 
-def load_quantized(fold_dir: str, method: str, *, mesh=None):
+def load_quantized(fold_dir: str, method: str, *, mesh=None, device_preprocess=False):
     """Restore a stage-4 artifact → (spec, model, apply_fn, host_preprocess).
 
     Artifact kinds are self-describing: static int8 carries "input" qparams
@@ -87,8 +87,15 @@ def load_quantized(fold_dir: str, method: str, *, mesh=None):
     if "input" in model:  # static int8 (optionally the mixed executor)
         apply = qmod.apply_int8_mixed if mixed else qmod.apply_int8
         fn = jax.jit(lambda q, x: apply(spec, q, x))
-        # only the ResNet 7×7 stem uses the space-to-depth host layout
-        pre = s2d_preprocess if isinstance(spec, ResNetSpec) else None
+        # only the ResNet 7×7 stem uses the space-to-depth host layout;
+        # device_preprocess=True moves the relayout into the device program
+        # (apply_int8 accepts raw uint8 and traces space_to_depth_device) —
+        # for hosts whose cores, not the chip, are the scarce resource
+        pre = (
+            s2d_preprocess
+            if isinstance(spec, ResNetSpec) and not device_preprocess
+            else None
+        )
         return spec, model, functools.partial(fn, model), pre
     from .models.vit import ViTSpec
 
@@ -150,9 +157,17 @@ class Predictor:
 
     @classmethod
     def from_artifact(
-        cls, fold_dir: str, method: str = "static_int8", *, mesh=None, **kw
+        cls,
+        fold_dir: str,
+        method: str = "static_int8",
+        *,
+        mesh=None,
+        device_preprocess=False,
+        **kw,
     ):
-        _, _, fn, pre = load_quantized(fold_dir, method, mesh=mesh)
+        _, _, fn, pre = load_quantized(
+            fold_dir, method, mesh=mesh, device_preprocess=device_preprocess
+        )
         return cls(fn, host_preprocess=pre, mesh=mesh, **kw)
 
     def _stage(self, chunk: np.ndarray):

@@ -202,4 +202,58 @@ int ievm_decode_batch(const char** paths, int n, int ow, int oh, int s2d,
 int ievm_decode_one(const char* path, int ow, int oh, uint8_t* out) {
   return load_one(path, ow, oh, 0, out) ? 1 : 0;
 }
+
+// Batch space-to-depth(2) on an in-memory uint8 NHWC array:
+// (n, h, w, 3) → (n, h/2, w/2, 12), channel order ((sy*2+sx)*3 + c).
+// The serving runtime's host preprocess: numpy's strided transpose runs at
+// ~0.6 GB/s single-thread (65 ms per 256×224×224×3 batch — 10× the device
+// forward), while this row-interleave is a straight-line 12-bytes-per-step
+// copy loop that vectorizes, plus a std::thread fan-out over images for
+// multi-core serving hosts. Each output row is the 6-byte-chunk interleave
+// of two source rows: dst[j] = r0[6j..6j+6] ++ r1[6j..6j+6].
+int ievm_s2d_batch(const uint8_t* src, int n, int h, int w, uint8_t* dst,
+                   int num_threads) {
+  if (h % 2 || w % 2) return 0;
+  const size_t srow = (size_t)w * 3;
+  const size_t in_stride = (size_t)h * srow;
+  const int hw = w / 2, hh = h / 2;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      const uint8_t* s = src + (size_t)i * in_stride;
+      uint8_t* d = dst + (size_t)i * in_stride;  // same byte count
+      for (int y = 0; y < hh; y++) {
+        const uint8_t* r0 = s + (size_t)(2 * y) * srow;
+        const uint8_t* r1 = r0 + srow;
+        // Overlapping 8-byte copies: each stores 2 stray bytes past its
+        // 6-byte chunk that the NEXT store (or the tail memcpy) overwrites.
+        // The tail pixel uses exact-width copies so no write ever crosses
+        // this image's output region (images are parceled across threads).
+        uint64_t a, b;
+        for (int x = 0; x < hw - 1; x++) {
+          memcpy(&a, r0 + (size_t)x * 6, 8);
+          memcpy(&b, r1 + (size_t)x * 6, 8);
+          memcpy(d, &a, 8);
+          memcpy(d + 6, &b, 8);
+          d += 12;
+        }
+        memcpy(d, r0 + (size_t)(hw - 1) * 6, 6);
+        memcpy(d + 6, r1 + (size_t)(hw - 1) * 6, 6);
+        d += 12;
+      }
+    }
+  };
+  if (num_threads < 1) num_threads = 1;
+  int nt = num_threads < n ? num_threads : (n > 0 ? n : 1);
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; t++) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
+  }
+  return n;
+}
 }

@@ -83,3 +83,28 @@ def test_native_s2d_matches_numpy(tmp_path):
     s2d, ok2 = decode_batch_native(paths, (64, 64), s2d=True)
     assert ok2.all() and s2d.shape == (3, 32, 32, 12)
     np.testing.assert_array_equal(s2d, space_to_depth_u8(full))
+
+
+def test_s2d_batch_native_matches_pure_numpy():
+    """The batch-array C++ s2d (serving host preprocess) must be byte-equal
+    to the reference transpose. The reference here is written out explicitly
+    because ops.space_to_depth_u8 itself routes through the native path."""
+    from inference_efficient_vision_models_tpu.data.native_loader import (
+        s2d_batch_native,
+    )
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    for b, h, w in ((2, 64, 64), (1, 224, 224), (3, 10, 6)):
+        x = rng.integers(0, 255, (b, h, w, 3), dtype=np.uint8)
+        ref = np.ascontiguousarray(
+            x.reshape(b, h // 2, 2, w // 2, 2, 3)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, h // 2, w // 2, 12)
+        )
+        got = s2d_batch_native(x)
+        assert got is not None
+        np.testing.assert_array_equal(got, ref)
+    # odd spatial extent: native path must decline, not corrupt
+    assert s2d_batch_native(rng.integers(0, 255, (1, 7, 8, 3), dtype=np.uint8)) is None

@@ -175,3 +175,48 @@ def test_depthwise_int8_shifts_exact(k, stride):
     )
     got = depthwise_conv_int8(x, w, stride)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_space_to_depth_device_matches_host():
+    import jax
+
+    from inference_efficient_vision_models_tpu.ops.space_to_depth import (
+        space_to_depth_device,
+        space_to_depth_u8,
+    )
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    got = np.asarray(jax.jit(space_to_depth_device)(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, space_to_depth_u8(x))
+
+
+def test_apply_int8_raw_input_uses_device_s2d_exactly():
+    """Raw uint8 into apply_int8 with an e4 stem must be BIT-identical to
+    host-s2d input: both run the same e4 program, only the relayout moves
+    on device (the zero-host-preprocess serving mode)."""
+    import logging
+
+    from inference_efficient_vision_models_tpu.compress.quant.engine import (
+        QuantizationEngine,
+    )
+    from inference_efficient_vision_models_tpu.models import create_model
+    from inference_efficient_vision_models_tpu.ops.space_to_depth import (
+        space_to_depth_u8,
+    )
+
+    class Cfg:
+        batch_size = 8
+        calibration_images = 16
+        DEBUG_MODE = False
+        image_size = (64, 64)
+        compute_dtype = "float32"
+
+    spec, params, state = create_model("resnet18", num_classes=6)
+    rng = np.random.default_rng(13)
+    imgs = rng.integers(0, 255, (16, 64, 64, 3)).astype(np.uint8)
+    eng = QuantizationEngine(Cfg(), spec, params, state, logging.getLogger("q"))
+    qmodel, q_fn = eng.static_quantize((imgs, np.zeros(16, np.int32)))
+    raw = np.asarray(q_fn(jnp.asarray(imgs[:4])))
+    hosted = np.asarray(q_fn(jnp.asarray(space_to_depth_u8(imgs[:4]))))
+    np.testing.assert_array_equal(raw, hosted)
