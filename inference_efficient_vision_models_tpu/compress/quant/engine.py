@@ -292,3 +292,47 @@ class QuantizationEngine:
         # derived tensors (stem offset maps) are regenerable, not checkpoint
         # payload — measure the serializable view
         return model_size_bytes(self.q.serializable(model)) / 1e6
+
+
+def float_stem_spec(spec):
+    """(stem_key, stride, pad, act) of a CNN family's folded stem, or None
+    (ViT patch embeds keep their own fold)."""
+    from ...models.efficientnet import EfficientNetSpec
+    from ...models.mobilenet import MobileNetV2Spec
+
+    if isinstance(spec, ResNetSpec):
+        return ("conv1", 2, 3, "relu")
+    if isinstance(spec, EfficientNetSpec):
+        return ("stem", 2, 1, "silu")
+    if isinstance(spec, MobileNetV2Spec):
+        return ("stem", 2, 1, "relu6")
+    return None
+
+
+def u8_folded_forward(spec, folded, *, dtype=jnp.bfloat16, image_size=None):
+    """Build a jittable ``(x_u8) -> logits`` over a folded float model with
+    the normalize+stem prefix replaced by the s2d-folded uint8 stem
+    (stemfold.make_float_stem_s2d): no 3-lane-minor tensor ever exists in
+    the program. Input: raw (B, H, W, 3) uint8 or the (B, H/2, W/2, 12)
+    s2d layout. CNN families only (ViT patch embeds keep their own fold)."""
+    from . import stemfold
+
+    qmod = quant_module(spec)
+    cfg = float_stem_spec(spec)
+    if cfg is None:
+        raise TypeError(f"u8_folded_forward supports CNN families, got {type(spec)}")
+    key, stride, pad, act = cfg
+    stem_fn = stemfold.make_float_stem_s2d(
+        folded[key]["w"], folded[key]["b"], stride=stride, padding=pad,
+        image_size=image_size, act=act, dtype=dtype,
+    )
+    cast = jax.tree.map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, folded
+    )
+
+    def fwd(x_u8):
+        return qmod.apply_folded(
+            spec, cast, None, stem_out=stem_fn(x_u8)
+        ).astype(jnp.float32)
+
+    return fwd

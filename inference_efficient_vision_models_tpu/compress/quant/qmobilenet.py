@@ -62,22 +62,27 @@ def _conv_f32(x, w, b, stride, padding, *, groups=1, relu6=False):
 
 def apply_folded(
     spec: MobileNetV2Spec, folded, x, *, with_taps: bool = False,
-    return_features: bool = False, tap_fn=None,
+    return_features: bool = False, tap_fn=None, stem_out=None,
 ):
     """fp32 forward on the folded model; optionally returns activation taps
     (the quantization points) or stops at pooled features.
 
     ``tap_fn(name, t) -> t'`` intercepts every quantization point and its
-    return value re-enters the flow (QAT fake-quant hook, see qat.py)."""
+    return value re-enters the flow (QAT fake-quant hook, see qat.py).
+    ``stem_out`` skips the normalize+stem prefix (s2d-folded uint8 stem,
+    stemfold.make_float_stem_s2d); ``x`` is then ignored."""
     taps: Dict[str, jax.Array] = {}
 
     def tap(name, t):
         taps[name] = t
         return tap_fn(name, t) if tap_fn is not None else t
 
-    x = tap("input", x)
-    t = _conv_f32(x, folded["stem"]["w"], folded["stem"]["b"], 2, 1, relu6=True)
-    t = tap("stem", t)
+    if stem_out is None:
+        x = tap("input", x)
+        t = _conv_f32(x, folded["stem"]["w"], folded["stem"]["b"], 2, 1, relu6=True)
+        t = tap("stem", t)
+    else:
+        t = stem_out
 
     for s, depth in enumerate(spec.depths):
         for b in range(depth):

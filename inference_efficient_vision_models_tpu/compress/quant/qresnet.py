@@ -68,23 +68,29 @@ def _max_pool(x, init):
 
 def apply_folded(
     spec: ResNetSpec, folded, x, *, with_taps: bool = False,
-    return_features: bool = False, tap_fn=None,
+    return_features: bool = False, tap_fn=None, stem_out=None,
 ):
     """fp32 forward on the folded model; optionally returns activation taps
     or stops at the pooled features (pre-classifier).
 
     ``tap_fn(name, t) -> t'`` intercepts every quantization point (the same
     tap set convert_static_int8 consumes) and its return value re-enters the
-    flow — the hook QAT uses to fake-quantize activations (see qat.py)."""
+    flow — the hook QAT uses to fake-quantize activations (see qat.py).
+    ``stem_out`` (pre-maxpool stem activation) skips the normalize+stem
+    prefix — the serving hook for the s2d-folded uint8 stem
+    (stemfold.make_float_stem_s2d); ``x`` is then ignored."""
     taps: Dict[str, jax.Array] = {}
 
     def tap(name, t):
         taps[name] = t
         return tap_fn(name, t) if tap_fn is not None else t
 
-    x = tap("input", x)
-    t = _conv_f32(x, folded["conv1"]["w"], folded["conv1"]["b"], 2, 3, relu=True)
-    t = tap("stem", t)
+    if stem_out is None:
+        x = tap("input", x)
+        t = _conv_f32(x, folded["conv1"]["w"], folded["conv1"]["b"], 2, 3, relu=True)
+        t = tap("stem", t)
+    else:
+        t = stem_out
     t = _max_pool(t, -jnp.inf)
 
     for s, depth in enumerate(spec.depths):

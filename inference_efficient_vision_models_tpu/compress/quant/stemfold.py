@@ -121,3 +121,90 @@ def apply_u8_stem(
     if act == "silu":
         return y * jax.nn.sigmoid(y)
     return y
+
+
+# ---------------------------------------------------------------------------
+# Float (bf16 / weight-only) stem: normalization fold + space-to-depth remap.
+#
+# The SAME affine algebra as the int8 stem above, without weight
+# quantization: the float serving paths (bf16/fp16 casts, W8A16, W4A16)
+# otherwise spend device time normalizing a (B, H, W, 3) tensor and reading
+# it through a 3-lane-minor stem conv (~3/128 VPU lane efficiency). Folding
+# x_f = u·k + d into the kernel (W' = W·k, offset map E = conv(d·1, W))
+# and remapping W' to the s2d(2) layout removes every 3-lane op from the
+# program; the consuming conv reads (H/2, W/2, 12) uint8 directly.
+# ---------------------------------------------------------------------------
+
+
+def make_float_stem_s2d(
+    w, b, *, stride: int, padding: int, image_size=None, act: str = "relu",
+    dtype=jnp.bfloat16,
+):
+    """Folded fp32 stem (w HWIO, b) → jittable ``stem_fn(x_u8) -> stem_out``.
+
+    ``x_u8`` may be raw (B, H, W, 3) uint8 (relayout traced on device) or
+    the pre-packed (B, H/2, W/2, 4C) s2d layout. ``stem_out`` matches the
+    family ``apply_folded`` stem activation up to dtype rounding — feed it
+    via the ``stem_out=`` kwarg. The border-offset map E is computed
+    host-side at trace time for each input extent (cached; exact fp32) and
+    baked into the program as a constant — ``image_size`` is accepted for
+    interface symmetry but not required.
+    """
+    from ...data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+    from ...ops.space_to_depth import remap_conv_weights_s2d, space_to_depth_device
+
+    del image_size  # derived from the traced input extent
+    w = np.asarray(jax.device_get(w), np.float32)
+    b = np.asarray(jax.device_get(b), np.float32)
+    kh, kw, cin, cout = w.shape
+    k = 1.0 / (255.0 * np.asarray(IMAGENET_STD[:cin], np.float32))
+    d = -(np.asarray(IMAGENET_MEAN[:cin], np.float32)
+          / np.asarray(IMAGENET_STD[:cin], np.float32))
+    w4, pad_lo, s2 = remap_conv_weights_s2d(
+        w * k.reshape(1, 1, cin, 1), stride, padding
+    )
+    w4 = w4.astype(np.float32)
+    bias_maps = {}
+
+    def _bias_map(h, wid):
+        # E once per input extent: conv of the constant d image with the
+        # ORIGINAL kernel — exact, position-dependent only at padded
+        # borders. Pure numpy (conv(d·1_interior, W) separates into
+        # inside-mask row/col factors) so it stays concrete even when
+        # stem_fn is being traced under jit.
+        if (h, wid) not in bias_maps:
+            out_h = (h + 2 * padding - kh) // stride + 1
+            out_w = (wid + 2 * padding - kw) // stride + 1
+            iy = stride * np.arange(out_h)[:, None] + np.arange(kh)[None, :] - padding
+            ix = stride * np.arange(out_w)[:, None] + np.arange(kw)[None, :] - padding
+            row_in = ((iy >= 0) & (iy < h)).astype(np.float32)  # (out_h, kh)
+            col_in = ((ix >= 0) & (ix < wid)).astype(np.float32)  # (out_w, kw)
+            e = np.einsum("ik,jl,klco,c->ijo", row_in, col_in, w, d)
+            bias_maps[(h, wid)] = (e[None] + b).astype(np.float32)
+        return bias_maps[(h, wid)]
+
+    def stem_fn(x_u8):
+        if x_u8.shape[-1] == cin:
+            x_u8 = space_to_depth_device(x_u8)
+        h, wid = 2 * x_u8.shape[1], 2 * x_u8.shape[2]
+        out_h = (h + 2 * padding - kh) // stride + 1
+        out_w = (wid + 2 * padding - kw) // stride + 1
+        pad_hi_y = (out_h - 1) * s2 + w4.shape[0] - h // 2 - pad_lo
+        pad_hi_x = (out_w - 1) * s2 + w4.shape[1] - wid // 2 - pad_lo
+        xs = x_u8.astype(dtype)
+        y = lax.conv_general_dilated(
+            xs, jnp.asarray(w4, dtype), (s2, s2),
+            [(pad_lo, pad_hi_y), (pad_lo, pad_hi_x)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        y = y + _bias_map(h, wid)
+        if act == "relu":
+            y = jax.nn.relu(y)
+        elif act == "relu6":
+            y = jnp.minimum(jax.nn.relu(y), 6.0)
+        elif act == "silu":
+            y = y * jax.nn.sigmoid(y)
+        return y.astype(dtype)
+
+    return stem_fn

@@ -59,6 +59,41 @@ def space_to_depth_device(x, factor: int = 2):
     )
 
 
+def remap_conv_weights_s2d(
+    w: np.ndarray, stride: int, pad: int
+) -> tuple:
+    """Remap ANY even-stride conv kernel to the s2d(2) input layout.
+
+    (kh, kw, C, O) with stride s (even) and symmetric zero pad p on the
+    full-resolution input ≡ a (kh', kw') kernel with stride s/2 and
+    asymmetric pad on the (H/2, W/2, 4C) s2d input, where each original tap
+    dy lands at new tap t = floor((dy−p)/2) in sub-channel block
+    sy = (dy−p) mod 2 (same for dx/sx; block order (sy, sx, c) matching
+    space_to_depth_u8). Returns (w', (padL, padH_r_unresolved)) — the right
+    pad depends on the input extent, so this returns padL only along with
+    the new kernel; compute padR as (out−1)·s' + kh' − H' − padL.
+
+    → (w4, pad_lo, new_stride) with w4 (kh', kw', 4C, O), pad_lo the
+    left/top pad, new_stride = s // 2.
+    """
+    assert stride % 2 == 0, "s2d(2) remap needs an even stride"
+    kh, kw, c, o = w.shape
+    tmin = -((pad + 1) // 2)  # floor((0 − p)/2)
+    tmax = (kh - 1 - pad) // 2
+    kk = tmax - tmin + 1
+    umin = -((pad + 1) // 2)
+    umax = (kw - 1 - pad) // 2
+    kk_w = umax - umin + 1
+    w4 = np.zeros((kk, kk_w, 4 * c, o), w.dtype)
+    for dy in range(kh):
+        t, sy = (dy - pad) // 2, (dy - pad) % 2
+        for dx in range(kw):
+            u, sx = (dx - pad) // 2, (dx - pad) % 2
+            sub = (sy * 2 + sx) * c
+            w4[t - tmin, u - umin, sub : sub + c, :] += w[dy, dx, :, :]
+    return w4, -tmin, stride // 2
+
+
 def remap_stem_weights_s2d(w: np.ndarray) -> np.ndarray:
     """(7,7,C,O) stem kernel → (4,4,4C,O) for the s2d(2) input layout."""
     kh, kw, c, o = w.shape

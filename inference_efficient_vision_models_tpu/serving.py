@@ -70,15 +70,43 @@ def load_quantized(fold_dir: str, method: str, *, mesh=None, device_preprocess=F
     else:
         model = device_materialize(model)
 
-    from .compress.quant import wo4, wo8
+    from .compress.quant import stemfold, wo4, wo8
+    from .compress.quant.engine import float_stem_spec
+
+    # the float/weight-only paths swap normalize+stem for the s2d-folded
+    # uint8 stem (CNN families): no 3-lane-minor tensor in the program;
+    # same raw-u8 input contract, s2d-layout batches also accepted
+    def _stem_fn(stem_leaf, dtype):
+        cfg = float_stem_spec(spec)
+        if cfg is None:
+            return None
+        _, stride, pad, act = cfg
+        return stemfold.make_float_stem_s2d(
+            stem_leaf["w"], stem_leaf["b"], stride=stride, padding=pad,
+            act=act, dtype=dtype,
+        )
 
     # W4A16 artifacts may also carry int8 fallback leaves — check int4 first
     wo = wo4 if wo4.is_weight_only_int4(model) else (
         wo8 if wo8.is_weight_only(model) else None
     )
     if wo is not None:  # W8A16/W4A16: quantized weights, bf16 compute
+        cfg = float_stem_spec(spec)
+        sfn = (
+            _stem_fn(
+                jax.device_get(wo.dequantize({ "s": model[cfg[0]] }, jnp.float32)["s"]),
+                jnp.bfloat16,
+            )
+            if cfg is not None
+            else None
+        )
+
         def wo_fwd(m, x_u8):
             f = wo.dequantize(m, jnp.bfloat16)
+            if sfn is not None:
+                return qmod.apply_folded(
+                    spec, f, None, stem_out=sfn(x_u8)
+                ).astype(jnp.float32)
             return qmod.apply_folded(
                 spec, f, normalize_images(x_u8, jnp.bfloat16)
             ).astype(jnp.float32)
@@ -107,20 +135,42 @@ def load_quantized(fold_dir: str, method: str, *, mesh=None, device_preprocess=F
         )
         return spec, model, functools.partial(fn, model), None
     if "fc_q" in model:  # dynamic int8
+        cfg = float_stem_spec(spec)
+        sfn_d = (
+            _stem_fn(jax.device_get(model[cfg[0]]), jnp.float32)
+            if cfg is not None
+            else None
+        )
 
         def fwd(m, x_u8):
-            feats = qmod.apply_folded(
-                spec, m, normalize_images(x_u8), return_features=True
-            )
+            if sfn_d is not None:
+                feats = qmod.apply_folded(
+                    spec, m, None, stem_out=sfn_d(x_u8), return_features=True
+                )
+            else:
+                feats = qmod.apply_folded(
+                    spec, m, normalize_images(x_u8), return_features=True
+                )
             return _dynamic_fc(feats, m["fc_q"])
 
         return spec, model, functools.partial(jax.jit(fwd), model), None
     dtype = jax.tree.leaves(model)[0].dtype  # folded cast (fp16/bf16/fp32)
-    fn = jax.jit(
-        lambda m, x_u8: qmod.apply_folded(
-            spec, m, normalize_images(x_u8, dtype)
-        ).astype(jnp.float32)
+    cfg = float_stem_spec(spec)
+    sfn_c = (
+        _stem_fn(jax.device_get(model[cfg[0]]), dtype) if cfg is not None else None
     )
+    if sfn_c is not None:
+        fn = jax.jit(
+            lambda m, x_u8: qmod.apply_folded(
+                spec, m, None, stem_out=sfn_c(x_u8)
+            ).astype(jnp.float32)
+        )
+    else:
+        fn = jax.jit(
+            lambda m, x_u8: qmod.apply_folded(
+                spec, m, normalize_images(x_u8, dtype)
+            ).astype(jnp.float32)
+        )
     return spec, model, functools.partial(fn, model), None
 
 

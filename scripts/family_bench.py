@@ -74,12 +74,27 @@ for name in ("resnet18", "mobilenet_v2", "efficientnet_b0", "vit_small_patch16_2
     rows["w4a16"] = timeit(chain(
         lambda xx: qmod.apply_folded(pspec, wo4.dequantize(w4model, jnp.bfloat16),
                                      xx.astype(jnp.bfloat16) / 255.0)), xf)
+    # s2d-folded uint8 stem variants (normalize+stem fused, no 3-lane tensor)
+    from inference_efficient_vision_models_tpu.compress.quant import stemfold
+    from inference_efficient_vision_models_tpu.compress.quant.engine import float_stem_spec
+    scfg = float_stem_spec(pspec)
+    if scfg is not None:
+        key, sstride, spad, sact = scfg
+        sfn16 = stemfold.make_float_stem_s2d(
+            eng.folded[key]["w"], eng.folded[key]["b"],
+            stride=sstride, padding=spad, act=sact, dtype=jnp.bfloat16)
+        rows["bf16s2d"] = timeit(chain(
+            lambda xx: qmod.apply_folded(pspec, fold16, None, stem_out=sfn16(xx))), x_int8)
+        rows["w8s2d"] = timeit(chain(
+            lambda xx: qmod.apply_folded(pspec, wo8.dequantize(wmodel, jnp.bfloat16),
+                                         None, stem_out=sfn16(xx))), x_int8)
     rows["int8"] = timeit(chain(lambda xx: qmod.apply_int8(pspec, qmodel, xx)), x_int8)
     if hasattr(qmod, "apply_int8_mixed"):  # MBConv: int8 1x1 + bf16 dw
         rows["int8mx"] = timeit(chain(
             lambda xx: qmod.apply_int8_mixed(pspec, qmodel, xx)), x_int8)
     sizes = {"bf16": eng.size_mb(fold16), "w8a16": eng.size_mb(wmodel),
              "w4a16": eng.size_mb(w4model),
+             "bf16s2d": eng.size_mb(fold16), "w8s2d": eng.size_mb(wmodel),
              "int8": eng.size_mb(qmodel), "int8mx": eng.size_mb(qmodel),
              "fp32": eng.size_mb(eng.folded)}
     for m, ms in rows.items():

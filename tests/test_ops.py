@@ -220,3 +220,20 @@ def test_apply_int8_raw_input_uses_device_s2d_exactly():
     raw = np.asarray(q_fn(jnp.asarray(imgs[:4])))
     hosted = np.asarray(q_fn(jnp.asarray(space_to_depth_u8(imgs[:4]))))
     np.testing.assert_array_equal(raw, hosted)
+
+
+def test_remap_conv_weights_s2d_matches_specialized_stem_remap():
+    from inference_efficient_vision_models_tpu.ops.space_to_depth import (
+        remap_conv_weights_s2d,
+        remap_stem_weights_s2d,
+    )
+
+    rng = np.random.default_rng(17)
+    w = rng.standard_normal((7, 7, 3, 8)).astype(np.float32)
+    w4, pad_lo, s2 = remap_conv_weights_s2d(w, stride=2, pad=3)
+    assert (pad_lo, s2) == (2, 1)
+    np.testing.assert_array_equal(w4, remap_stem_weights_s2d(w))
+    # 3x3/s2 pad1 (the MBConv stem geometry): 2x2/s1 with left pad 1
+    w3 = rng.standard_normal((3, 3, 3, 8)).astype(np.float32)
+    w32, pad_lo3, s23 = remap_conv_weights_s2d(w3, stride=2, pad=1)
+    assert w32.shape == (2, 2, 12, 8) and (pad_lo3, s23) == (1, 1)

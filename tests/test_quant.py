@@ -384,3 +384,50 @@ def test_weight_only_int4_close_and_roundtrips(model_name, tmp_path):
     np.testing.assert_allclose(
         np.asarray(fn2(jnp.asarray(imgs))), got, rtol=2e-2, atol=2e-2
     )
+
+
+def test_u8_folded_forward_matches_normalize_path():
+    """s2d-folded uint8 float stem (make_float_stem_s2d) ≡ normalize +
+    apply_folded for every CNN family — the bf16/W8A16/W4A16 serving
+    fast path. fp32 dtype so the only difference is summation order."""
+    import logging
+
+    import jax
+
+    from inference_efficient_vision_models_tpu.compress.quant.engine import (
+        QuantizationEngine,
+        u8_folded_forward,
+    )
+    from inference_efficient_vision_models_tpu.data.pipeline import normalize_images
+    from inference_efficient_vision_models_tpu.models import create_model
+
+    class Cfg:
+        batch_size = 4
+        calibration_images = 8
+        DEBUG_MODE = False
+        image_size = (64, 64)
+        compute_dtype = "float32"
+
+    rng = np.random.default_rng(21)
+    imgs = rng.integers(0, 255, (4, 64, 64, 3)).astype(np.uint8)
+    for name in ("resnet18", "mobilenet_v2", "efficientnet_b0"):
+        spec, params, state = create_model(name, num_classes=6)
+        eng = QuantizationEngine(Cfg(), spec, params, state, logging.getLogger("q"))
+        qmod = eng.q
+        ref = np.asarray(
+            jax.jit(
+                lambda x: qmod.apply_folded(spec, eng.folded, normalize_images(x))
+            )(jnp.asarray(imgs))
+        )
+        fwd = u8_folded_forward(
+            spec, eng.folded, dtype=jnp.float32, image_size=(64, 64)
+        )
+        got = np.asarray(jax.jit(fwd)(jnp.asarray(imgs)))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4), name
+        # and the pre-packed s2d layout gives the identical program result
+        from inference_efficient_vision_models_tpu.ops.space_to_depth import (
+            space_to_depth_u8,
+        )
+
+        got2 = np.asarray(jax.jit(fwd)(jnp.asarray(space_to_depth_u8(imgs))))
+        np.testing.assert_allclose(got2, got, rtol=1e-5, atol=1e-5)
