@@ -53,13 +53,16 @@ def load_quantized(fold_dir: str, method: str, *, mesh=None, device_preprocess=F
     with open(os.path.join(fold_dir, "spec.json")) as f:
         spec = spec_from_dict(json.load(f))
     qmod = quant_module(spec)
-    # "<kind>_mixed" selects an alternate executor over the base artifact —
-    # e.g. static_int8_mixed (int8 1×1 + bf16 depthwise) reuses either its
-    # own CLI-saved file or the plain static_int8 one.
+    # "<kind>_mixed" / "<kind>_fused" select an alternate executor over the
+    # base artifact — static_int8_mixed (int8 1×1 + bf16 depthwise) and
+    # static_int8_fused (one whole-block Pallas kernel per MBConv, see
+    # fusedpath) reuse either their own CLI-saved file or the plain
+    # static_int8 one.
     mixed = method.endswith("_mixed")
+    fused = method.endswith("_fused")
     path = os.path.join(fold_dir, f"model_{method}.msgpack")
-    if mixed and not os.path.exists(path):
-        path = os.path.join(fold_dir, f"model_{method[: -len('_mixed')]}.msgpack")
+    if (mixed or fused) and not os.path.exists(path):
+        path = os.path.join(fold_dir, f"model_{method.rsplit('_', 1)[0]}.msgpack")
     with open(path, "rb") as f:
         model = serialization.msgpack_restore(f.read())
     model = qmod.restore_derived(model)
@@ -112,7 +115,24 @@ def load_quantized(fold_dir: str, method: str, *, mesh=None, device_preprocess=F
             ).astype(jnp.float32)
 
         return spec, model, functools.partial(jax.jit(wo_fwd), model), None
-    if "input" in model:  # static int8 (optionally the mixed executor)
+    if "input" in model:  # static int8 (optionally the mixed/fused executor)
+        if fused:
+            from .compress.quant import fusedpath
+
+            if mesh is not None:
+                raise ValueError("the fused executor is single-device")
+            qf = device_materialize(
+                jax.tree.map(
+                    jnp.asarray, fusedpath.pack_fused(spec, jax.device_get(model))
+                )
+            )
+            interp = os.environ.get("IEVM_FUSED_INTERPRET") == "1"
+            fn = jax.jit(
+                lambda q, x: fusedpath.apply_int8_fused(
+                    spec, q, qf, x, interpret=interp
+                )
+            )
+            return spec, model, functools.partial(fn, model), None
         apply = qmod.apply_int8_mixed if mixed else qmod.apply_int8
         fn = jax.jit(lambda q, x: apply(spec, q, x))
         # only the ResNet 7×7 stem uses the space-to-depth host layout;

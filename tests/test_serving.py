@@ -93,3 +93,46 @@ def test_predictor_stream(tmp_path):
     p = Predictor.from_artifact(fold, "static_int8", batch_size=4)
     outs = list(p.predict_stream(iter([imgs[:4], imgs[4:8]])))
     assert len(outs) == 2 and outs[0].shape == (4, 6)
+
+
+def test_predictor_fused_executor_route(tmp_path, monkeypatch):
+    """'static_int8_fused' serves the plain static-int8 artifact through the
+    whole-block Pallas executor (interpret mode on CPU)."""
+    import dataclasses
+    import json
+    import logging
+
+    from flax import serialization
+
+    from inference_efficient_vision_models_tpu.compress.quant.engine import (
+        QuantizationEngine,
+    )
+    from inference_efficient_vision_models_tpu.models import create_model
+    from inference_efficient_vision_models_tpu.serving import Predictor
+
+    import jax
+
+    monkeypatch.setenv("IEVM_FUSED_INTERPRET", "1")
+
+    class Cfg:
+        batch_size = 8
+        calibration_images = 16
+        DEBUG_MODE = False
+        image_size = (32, 32)
+        compute_dtype = "float32"
+
+    spec, params, state = create_model("mobilenet_v2_050", num_classes=6)
+    rng = np.random.default_rng(9)
+    imgs = rng.integers(0, 255, (16, 32, 32, 3)).astype(np.uint8)
+    eng = QuantizationEngine(Cfg(), spec, params, state, logging.getLogger("q"))
+    qmodel, q_fn = eng.static_quantize((imgs, np.zeros(16, np.int32)))
+    sd = spec.to_dict() if hasattr(spec, "to_dict") else dataclasses.asdict(spec)
+    with open(tmp_path / "spec.json", "w") as f:
+        json.dump(sd, f)
+    with open(tmp_path / "model_static_int8.msgpack", "wb") as f:
+        f.write(serialization.msgpack_serialize(jax.device_get(qmodel)))
+
+    pred = Predictor.from_artifact(str(tmp_path), "static_int8_fused", batch_size=8)
+    got = pred.predict_logits(imgs[:8])
+    ref = np.asarray(q_fn(jnp.asarray(imgs[:8])))
+    np.testing.assert_allclose(got, ref, atol=0.3, rtol=0.02)
