@@ -295,10 +295,11 @@ class QuantizationEngine:
 
 
 def float_stem_spec(spec):
-    """(stem_key, stride, pad, act) of a CNN family's folded stem, or None
-    (ViT patch embeds keep their own fold)."""
+    """(stem_key, stride, pad, act) of a family's folded stem / patch embed,
+    or None for unknown specs."""
     from ...models.efficientnet import EfficientNetSpec
     from ...models.mobilenet import MobileNetV2Spec
+    from ...models.vit import ViTSpec
 
     if isinstance(spec, ResNetSpec):
         return ("conv1", 2, 3, "relu")
@@ -306,6 +307,8 @@ def float_stem_spec(spec):
         return ("stem", 2, 1, "silu")
     if isinstance(spec, MobileNetV2Spec):
         return ("stem", 2, 1, "relu6")
+    if isinstance(spec, ViTSpec):
+        return ("patch_embed", spec.patch, 0, "none")
     return None
 
 
@@ -320,7 +323,7 @@ def u8_folded_forward(spec, folded, *, dtype=jnp.bfloat16, image_size=None):
     qmod = quant_module(spec)
     cfg = float_stem_spec(spec)
     if cfg is None:
-        raise TypeError(f"u8_folded_forward supports CNN families, got {type(spec)}")
+        raise TypeError(f"u8_folded_forward has no stem fold for {type(spec)}")
     key, stride, pad, act = cfg
     stem_fn = stemfold.make_float_stem_s2d(
         folded[key]["w"], folded[key]["b"], stride=stride, padding=pad,

@@ -137,13 +137,28 @@ def fold(spec: ViTSpec, params, state) -> Dict:
 
 def apply_folded(
     spec: ViTSpec, folded, x, *, with_taps: bool = False,
-    return_features: bool = False, tap_fn=None,
+    return_features: bool = False, tap_fn=None, stem_out=None,
 ):
     """fp32/half forward (compute dtype = x.dtype); optionally returns the
     activation taps at every dense-layer INPUT (static-int8 observers).
 
     ``tap_fn(name, t) -> t'`` intercepts every quantization point and its
-    return value re-enters the flow (QAT fake-quant hook, see qat.py)."""
+    return value re-enters the flow (QAT fake-quant hook, see qat.py).
+    ``stem_out`` (a precomputed patch-embed map) skips the normalize+patch
+    conv prefix — the serving hook for the s2d-folded uint8 patch embed;
+    serving-path only (incompatible with taps)."""
+    if stem_out is not None:
+        assert not with_taps and tap_fn is None, "stem_out is a serving-path hook"
+        dtype = (
+            stem_out.dtype
+            if stem_out.dtype in (jnp.bfloat16, jnp.float16)
+            else jnp.float32
+        )
+        out, _ = vit_mod.apply(
+            spec, folded, {}, None, train=False, compute_dtype=dtype,
+            return_features=return_features, patch_out=stem_out,
+        )
+        return out
     dtype = x.dtype if x.dtype in (jnp.bfloat16, jnp.float16) else jnp.float32
     if not with_taps and tap_fn is None:
         out, _ = vit_mod.apply(

@@ -178,17 +178,25 @@ def apply(
     train: bool = False,
     compute_dtype=jnp.float32,
     return_features: bool = False,
+    patch_out=None,
 ):
     """Forward: NHWC images → logits. Returns (logits, state) — state is
-    passed through unchanged (interface-compatible with models.resnet)."""
+    passed through unchanged (interface-compatible with models.resnet).
+
+    ``patch_out`` (a precomputed (B, H/p, W/p, dim) patch-embed activation)
+    skips the in-graph patch conv — the serving hook for the s2d-folded
+    uint8 patch embed (stemfold.make_float_stem_s2d); ``x`` is then ignored."""
     del train  # no dropout/BN in the inference-efficiency configuration
     dtype = compute_dtype
-    x = x.astype(dtype)
-    pe = jax.lax.conv_general_dilated(
-        x, params["patch_embed"]["w"].astype(dtype),
-        (spec.patch, spec.patch), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ) + params["patch_embed"]["b"].astype(dtype)
+    if patch_out is None:
+        x = x.astype(dtype)
+        pe = jax.lax.conv_general_dilated(
+            x, params["patch_embed"]["w"].astype(dtype),
+            (spec.patch, spec.patch), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + params["patch_embed"]["b"].astype(dtype)
+    else:
+        pe = patch_out.astype(dtype)
     b = pe.shape[0]
     tokens = pe.reshape(b, -1, spec.dim)
     cls = jnp.broadcast_to(params["cls_token"].astype(dtype), (b, 1, spec.dim))

@@ -431,3 +431,37 @@ def test_u8_folded_forward_matches_normalize_path():
 
         got2 = np.asarray(jax.jit(fwd)(jnp.asarray(space_to_depth_u8(imgs))))
         np.testing.assert_allclose(got2, got, rtol=1e-5, atol=1e-5)
+
+
+def test_u8_folded_forward_vit_patch_embed():
+    """The s2d-folded uint8 patch embed ≡ normalize + ViT apply_folded."""
+    import logging
+
+    import jax
+
+    from inference_efficient_vision_models_tpu.compress.quant.engine import (
+        QuantizationEngine,
+        u8_folded_forward,
+    )
+    from inference_efficient_vision_models_tpu.data.pipeline import normalize_images
+    from inference_efficient_vision_models_tpu.models import create_model
+
+    class Cfg:
+        batch_size = 2
+        calibration_images = 4
+        DEBUG_MODE = False
+        image_size = (224, 224)
+        compute_dtype = "float32"
+
+    rng = np.random.default_rng(23)
+    imgs = rng.integers(0, 255, (2, 224, 224, 3)).astype(np.uint8)
+    spec, params, state = create_model("vit_tiny_patch16_224", num_classes=6)
+    eng = QuantizationEngine(Cfg(), spec, params, state, logging.getLogger("q"))
+    ref = np.asarray(
+        jax.jit(
+            lambda x: eng.q.apply_folded(spec, eng.folded, normalize_images(x))
+        )(jnp.asarray(imgs))
+    )
+    fwd = u8_folded_forward(spec, eng.folded, dtype=jnp.float32)
+    got = np.asarray(jax.jit(fwd)(jnp.asarray(imgs)))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
