@@ -32,12 +32,18 @@ _MAGIC = b"IEVM"
 _VERSION = 1
 
 
-def _input_spec(spec, method: str, batch_size: int, image_size) -> Tuple:
+def _input_spec(
+    spec, method: str, batch_size: int, image_size, device_preprocess: bool
+) -> Tuple:
     """(shape, dtype, layout) the exported program consumes."""
     from .models.widths import ResNetSpec
 
     h, w = int(image_size[0]), int(image_size[1])
-    if method.startswith("static_int8") and isinstance(spec, ResNetSpec):
+    if (
+        method.startswith("static_int8")
+        and isinstance(spec, ResNetSpec)
+        and not device_preprocess
+    ):
         # the s2d stem consumes (N, H/2, W/2, 12) uint8 (stemfold)
         return (batch_size, h // 2, w // 2, 12), "uint8", "s2d"
     return (batch_size, h, w, 3), "uint8", "nhwc"
@@ -50,18 +56,26 @@ def export_quantized(
     batch_size: int = 256,
     image_size=(224, 224),
     platforms: Optional[Tuple[str, ...]] = ("tpu", "cpu"),
+    device_preprocess: bool = False,
 ) -> bytes:
     """Load a stage-4 artifact and export its forward → container bytes.
 
     The returned program maps uint8 images (layout per the header) to fp32
     logits; model weights are embedded as program constants.
+    ``device_preprocess=True`` traces the space-to-depth relayout into the
+    program, so even the static-int8 ResNet export consumes plain NHWC
+    uint8 — zero host-side transforms at the deployment site.
     """
     from jax import export as jx
 
     from .serving import load_quantized
 
-    spec, _model, apply_fn, _pre = load_quantized(fold_dir, method)
-    shape, dtype, layout = _input_spec(spec, method, batch_size, image_size)
+    spec, _model, apply_fn, _pre = load_quantized(
+        fold_dir, method, device_preprocess=device_preprocess
+    )
+    shape, dtype, layout = _input_spec(
+        spec, method, batch_size, image_size, device_preprocess
+    )
     fn = jax.jit(lambda x: apply_fn(x).astype(jnp.float32))
     exported = jx.export(fn, platforms=list(platforms) if platforms else None)(
         jax.ShapeDtypeStruct(shape, jnp.dtype(dtype))

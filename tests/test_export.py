@@ -97,3 +97,24 @@ def test_export_rejects_garbage(tmp_path):
         raise AssertionError("should have raised")
     except ValueError:
         pass
+
+
+def test_export_static_int8_device_preprocess_nhwc(tmp_path):
+    """device_preprocess=True traces the relayout into the program: the
+    static-int8 ResNet export consumes plain NHWC uint8 and matches the
+    s2d-fed serving path exactly (same program after the relayout)."""
+    fold = str(tmp_path)
+    imgs = _make_artifact(fold, "resnet18", "static_int8")
+    out = os.path.join(fold, "resnet18_static_nhwc.ievm")
+    header = save_exported(
+        fold, "static_int8", out,
+        batch_size=8, image_size=(64, 64), platforms=("cpu",),
+        device_preprocess=True,
+    )
+    assert header["input_layout"] == "nhwc"
+    assert header["input_shape"] == [8, 64, 64, 3]
+    call, _ = load_exported(out)
+    got = call(imgs[:8])
+    _, _, fn, _pre = load_quantized(fold, "static_int8")
+    ref = np.asarray(fn(jnp.asarray(s2d_layout(imgs[:8]))))
+    np.testing.assert_array_equal(got, ref)
