@@ -13,6 +13,9 @@ COMMON="num_folds=5 synthetic_size=600 batch_size=32 pretrained=False"
 AB=output/quantization/ab
 mkdir -p $AB logs
 
+# ---- 0. host s2d preprocess microbench (idle host) ----------------------
+timeout 300 python scripts/host_s2d_bench.py 2>&1 | tee logs/host_s2d.log
+
 # ---- 1. fused MBConv A/B ------------------------------------------------
 timeout 2400 python scripts/fused_ab.py 2>&1 | tee logs/fused_ab.log
 
