@@ -42,10 +42,18 @@ timeout 2400 python quantization/main.py experiment_name=ef2ar model_type=pruned
     "methods=('static_int8',)" adaround_iters=300 2>&1 | tee logs/ef2_adaround.log
 cp output/quantization/ef2ar/quantization_summary.csv $AB/ef2_adaround.csv 2>/dev/null
 
+# ---- 4b. minmax + QAT (round-2's accuracy pick) + final ef2 artifacts ----
+QE="experiment_name=ef2 model_type=pruned pruning_exp_name=ef2 student_model=efficientnet_b0 $COMMON"
+timeout 2400 python quantization/main.py $QE "methods=('static_int8',)" \
+    observer=minmax qat_epochs=2 2>&1 | tee logs/ef2_minmax_qat.log
+cp output/quantization/ef2/quantization_summary.csv $AB/ef2_minmax_qat2.csv 2>/dev/null
+# final ef2 menu with the accuracy-first config -> canonical CSV + artifacts
+timeout 3600 python quantization/main.py $QE observer=minmax qat_epochs=2 \
+    2>&1 | tee logs/ef2_final_menu.log
+
 # ---- 5. ViT full pipeline (vt2) -----------------------------------------
 bash scripts/vt2_pipeline.sh 2>&1 | tee logs/vt2.log
 
-# restore the full-menu CSVs as the canonical summaries
+# restore the r2 full-menu CSV as the canonical summary (W4 run overwrote it)
 cp $AB/r2_full_menu.csv output/quantization/r2/quantization_summary.csv 2>/dev/null
-cp $AB/ef2_full_menu.csv output/quantization/ef2/quantization_summary.csv 2>/dev/null
 echo ROUND3_PHASE2_DONE
