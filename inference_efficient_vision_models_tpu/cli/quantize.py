@@ -111,6 +111,10 @@ def run_quantize(cfg, logger, data, split):
             "static_int8_mixed": lambda: engine.static_quantize(
                 calib, train_data=train_d, executor="mixed"
             ),
+            # bf16 activation carrier over the same int8 conversion (ViTs)
+            "static_int8_bf16": lambda: engine.static_quantize(
+                calib, train_data=train_d, executor="bf16"
+            ),
             "dynamic_int8": lambda: engine.dynamic_quantize(),
             "fp16": lambda: engine.cast_half(jnp.float16),
             "bf16": lambda: engine.cast_half(jnp.bfloat16),

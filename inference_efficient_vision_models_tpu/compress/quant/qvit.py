@@ -76,8 +76,12 @@ def convert_dynamic_int8(spec: ViTSpec, params) -> Dict:
     return q
 
 
-def _dyn_dense(x, qd):
-    """(…, K) fp32 → (…, N) fp32 through a dynamic-int8 matmul."""
+def _dyn_dense(x, qd, out_dtype=None):
+    """(…, K) float → (…, N) x.dtype through a dynamic-int8 matmul.
+
+    The int8 matmul accumulates in int32 and the affine algebra runs in
+    fp32 regardless of the carrier dtype; only the returned activation is
+    cast back (to ``out_dtype`` or ``x.dtype``)."""
     shape = x.shape
     x2 = x.reshape(-1, shape[-1]).astype(jnp.float32)
     lo = jnp.minimum(jnp.min(x2), 0.0)
@@ -90,11 +94,31 @@ def _dyn_dense(x, qd):
     )
     acc = acc - (zp - 128) * qd["w_sum"]
     y = acc.astype(jnp.float32) * (scale * qd["w_scale"]) + qd["b"]
-    return y.reshape(*shape[:-1], -1)
+    return y.astype(out_dtype or x.dtype).reshape(*shape[:-1], -1)
 
 
-def apply_dynamic_int8(spec: ViTSpec, q, x):
-    """Forward: NHWC fp32 images → logits; all dense layers int8."""
+def _int8_attention(qh, kh, vh, hd: int, act_dtype):
+    """Shared attention tail for the int8 ViT executors: QK^T and att·V run
+    in the carrier dtype on the MXU with fp32 accumulation
+    (``preferred_element_type``); softmax stays fp32. With
+    ``act_dtype=float32`` this is bit-identical to the plain fp32 path."""
+    att = jnp.einsum(
+        "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+    ) * (hd**-0.5)
+    att = jax.nn.softmax(att, axis=-1).astype(act_dtype)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", att, vh, preferred_element_type=jnp.float32
+    ).astype(act_dtype)
+    return out
+
+
+def apply_dynamic_int8(spec: ViTSpec, q, x, act_dtype=jnp.float32):
+    """Forward: NHWC fp32 images → fp32 logits; all dense layers int8.
+
+    ``act_dtype`` is the inter-layer activation carrier (bf16 halves the
+    HBM traffic of every LayerNorm/softmax/GELU/residual and runs the two
+    attention einsums at bf16 MXU rate; quantization and dequantization of
+    every dense layer still happen in fp32, accumulation in int32/fp32)."""
     pe = lax.conv_general_dilated(
         x.astype(jnp.float32), jnp.asarray(q["patch_embed"]["w"]),
         (spec.patch, spec.patch), "VALID",
@@ -103,7 +127,9 @@ def apply_dynamic_int8(spec: ViTSpec, q, x):
     b = pe.shape[0]
     tokens = pe.reshape(b, -1, spec.dim)
     cls = jnp.broadcast_to(jnp.asarray(q["cls_token"]), (b, 1, spec.dim))
-    h = jnp.concatenate([cls, tokens], axis=1) + jnp.asarray(q["pos_embed"])
+    h = (jnp.concatenate([cls, tokens], axis=1) + jnp.asarray(q["pos_embed"])).astype(
+        act_dtype
+    )
 
     hd = spec.head_dim
     for i in range(spec.depth):
@@ -112,9 +138,7 @@ def apply_dynamic_int8(spec: ViTSpec, q, x):
         z = _layer_norm(h, blk["ln1"])
         qkv = _dyn_dense(z, blk["qkv"]).reshape(b, -1, 3, heads, hd)
         qh, kh, vh = (qkv[:, :, j].transpose(0, 2, 1, 3) for j in range(3))
-        att = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * (hd**-0.5)
-        att = jax.nn.softmax(att, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", att, vh)
+        out = _int8_attention(qh, kh, vh, hd, act_dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, heads * hd)
         h = h + _dyn_dense(out, blk["proj"])
         z = _layer_norm(h, blk["ln2"])
@@ -122,7 +146,7 @@ def apply_dynamic_int8(spec: ViTSpec, q, x):
         h = h + _dyn_dense(z, blk["mlp2"])
 
     h = _layer_norm(h, q["norm"])
-    return _dyn_dense(h[:, 0], q["head"])
+    return _dyn_dense(h[:, 0], q["head"], out_dtype=jnp.float32)
 
 
 # --------------------------------------------------------------------------
@@ -302,8 +326,12 @@ def restore_derived(qmodel: Dict) -> Dict:
     return qmodel
 
 
-def _static_dense(x, qd):
-    """(…, K) fp32 → (…, N) fp32 through a CALIBRATED int8 matmul."""
+def _static_dense(x, qd, out_dtype=None):
+    """(…, K) float → (…, N) x.dtype through a CALIBRATED int8 matmul.
+
+    Quantization / affine dequantization run in fp32 whatever the carrier
+    dtype; only the returned activation is cast (``out_dtype`` or
+    ``x.dtype``)."""
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
     x_s = quantize_affine_shifted(x2, qd["in_scale"], qd["in_zp"])
@@ -312,15 +340,22 @@ def _static_dense(x, qd):
     )
     acc = acc - (qd["in_zp"] - 128) * qd["w_sum"]
     y = acc.astype(jnp.float32) * (qd["in_scale"] * qd["w_scale"]) + qd["b"]
-    return y.reshape(*shape[:-1], -1)
+    return y.astype(out_dtype or x.dtype).reshape(*shape[:-1], -1)
 
 
-def apply_int8(spec: ViTSpec, q, x):
-    """Static-INT8 ViT forward → logits.
+def apply_int8(spec: ViTSpec, q, x, act_dtype=jnp.float32):
+    """Static-INT8 ViT forward → fp32 logits.
 
     With a fold_input model (patch_embed carries "e"), ``x`` is RAW uint8
     NHWC; otherwise normalized fp32. Every dense layer (qkv/proj/mlp/head
-    and the patch embed) runs int8 on the MXU with calibrated qparams."""
+    and the patch embed) runs int8 on the MXU with calibrated qparams.
+
+    ``act_dtype`` is the inter-layer activation carrier. The default fp32
+    reproduces the reference protocol bit-for-bit; ``bfloat16``
+    (``apply_int8_bf16``, method suffix ``static_int8_bf16``) halves the
+    HBM traffic of every LayerNorm / softmax / GELU / residual and runs
+    the two attention einsums at bf16 MXU rate — the affine quant/dequant
+    algebra and the softmax stay fp32, matmul accumulation int32/fp32."""
     pe = q["patch_embed"]
     if "e" in pe:
         t = stemfold.apply_u8_stem(pe, x, stride=int(spec.patch), pad=0, act="none")
@@ -333,7 +368,9 @@ def apply_int8(spec: ViTSpec, q, x):
     b = t.shape[0]
     tokens = t.reshape(b, -1, spec.dim)
     cls = jnp.broadcast_to(jnp.asarray(q["cls_token"]), (b, 1, spec.dim))
-    h = jnp.concatenate([cls, tokens], axis=1) + jnp.asarray(q["pos_embed"])
+    h = (jnp.concatenate([cls, tokens], axis=1) + jnp.asarray(q["pos_embed"])).astype(
+        act_dtype
+    )
 
     hd = spec.head_dim
     for i in range(spec.depth):
@@ -342,8 +379,7 @@ def apply_int8(spec: ViTSpec, q, x):
         z = _layer_norm(h, blk["ln1"])
         qkv = _static_dense(z, blk["qkv"]).reshape(b, -1, 3, heads, hd)
         qh, kh, vh = (qkv[:, :, j].transpose(0, 2, 1, 3) for j in range(3))
-        att = jax.nn.softmax(jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * hd**-0.5, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", att, vh)
+        out = _int8_attention(qh, kh, vh, hd, act_dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, heads * hd)
         h = h + _static_dense(out, blk["proj"])
         z = _layer_norm(h, blk["ln2"])
@@ -351,4 +387,10 @@ def apply_int8(spec: ViTSpec, q, x):
         h = h + _static_dense(z, blk["mlp2"])
 
     h = _layer_norm(h, q["norm"])
-    return _static_dense(h[:, 0], q["head"])
+    return _static_dense(h[:, 0], q["head"], out_dtype=jnp.float32)
+
+
+def apply_int8_bf16(spec: ViTSpec, q, x):
+    """The ``static_int8_bf16`` executor: same static-int8 artifact, bf16
+    activation carrier — see ``apply_int8``'s docstring."""
+    return apply_int8(spec, q, x, act_dtype=jnp.bfloat16)

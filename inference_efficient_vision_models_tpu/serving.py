@@ -60,8 +60,9 @@ def load_quantized(fold_dir: str, method: str, *, mesh=None, device_preprocess=F
     # static_int8 one.
     mixed = method.endswith("_mixed")
     fused = method.endswith("_fused")
+    bf16_act = method.endswith("_bf16")  # ViT bf16-carrier over the int8 artifact
     path = os.path.join(fold_dir, f"model_{method}.msgpack")
-    if (mixed or fused) and not os.path.exists(path):
+    if (mixed or fused or bf16_act) and not os.path.exists(path):
         path = os.path.join(fold_dir, f"model_{method.rsplit('_', 1)[0]}.msgpack")
     with open(path, "rb") as f:
         model = serialization.msgpack_restore(f.read())
@@ -133,7 +134,11 @@ def load_quantized(fold_dir: str, method: str, *, mesh=None, device_preprocess=F
                 )
             )
             return spec, model, functools.partial(fn, model), None
-        apply = qmod.apply_int8_mixed if mixed else qmod.apply_int8
+        apply = (
+            qmod.apply_int8_mixed
+            if mixed
+            else qmod.apply_int8_bf16 if bf16_act else qmod.apply_int8
+        )
         fn = jax.jit(lambda q, x: apply(spec, q, x))
         # only the ResNet 7×7 stem uses the space-to-depth host layout;
         # device_preprocess=True moves the relayout into the device program

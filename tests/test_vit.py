@@ -279,3 +279,51 @@ def test_vit_dynamic_int8_via_engine_and_serving(tmp_path):
     _, _, fn2, pre = load_quantized(str(tmp_path), "dynamic_int8")
     assert pre is None
     np.testing.assert_allclose(np.asarray(fn2(jnp.asarray(imgs))), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_vit_static_int8_bf16_executor(tmp_path):
+    """The bf16-carrier executor runs the SAME int8 artifact: logits stay
+    close to the fp32-carrier path (bf16 rounding only), argmax agrees, and
+    the serving loader routes the ``static_int8_bf16`` method suffix to it
+    (falling back to the base static_int8 msgpack)."""
+    import json
+    import logging
+    import os
+
+    from flax import serialization
+
+    from inference_efficient_vision_models_tpu.compress.quant import qvit
+    from inference_efficient_vision_models_tpu.compress.quant.engine import (
+        QuantizationEngine,
+    )
+    from inference_efficient_vision_models_tpu.serving import load_quantized
+
+    class Cfg:
+        batch_size = 8
+        calibration_images = 32
+        DEBUG_MODE = False
+        image_size = (32, 32)
+        compute_dtype = "float32"
+
+    spec, params, state = _tiny_vit(seed=6)
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 255, (32, 32, 32, 3)).astype(np.uint8)
+    eng = QuantizationEngine(Cfg(), spec, params, state, logging.getLogger("q"))
+    qm, _ = eng.static_quantize((imgs, np.zeros(32, np.int32)))
+
+    x = jnp.asarray(imgs[:8])  # raw u8 — the folded patch embed consumes it
+    f32 = np.asarray(jax.jit(lambda q, x: qvit.apply_int8(spec, q, x))(qm, x))
+    b16 = np.asarray(jax.jit(lambda q, x: qvit.apply_int8_bf16(spec, q, x))(qm, x))
+    assert b16.dtype == np.float32  # logits come back fp32 either way
+    err = np.abs(b16 - f32) / (np.abs(f32).max() + 1e-6)
+    assert err.max() < 0.08, err.max()  # bf16 rounding, not a different model
+    assert (b16.argmax(1) == f32.argmax(1)).all()
+
+    # serving loader: "_bf16" suffix reuses the base static_int8 artifact
+    with open(os.path.join(str(tmp_path), "model_static_int8.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(qvit.serializable(jax.device_get(qm))))
+    with open(os.path.join(str(tmp_path), "spec.json"), "w") as f:
+        json.dump(spec.to_dict(), f)
+    _, _, fn2, pre = load_quantized(str(tmp_path), "static_int8_bf16")
+    assert pre is None
+    np.testing.assert_allclose(np.asarray(fn2(x)), b16, rtol=1e-5, atol=1e-5)
