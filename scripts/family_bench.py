@@ -92,10 +92,14 @@ for name in ("resnet18", "mobilenet_v2", "efficientnet_b0", "vit_small_patch16_2
     if hasattr(qmod, "apply_int8_mixed"):  # MBConv: int8 1x1 + bf16 dw
         rows["int8mx"] = timeit(chain(
             lambda xx: qmod.apply_int8_mixed(pspec, qmodel, xx)), x_int8)
+    if hasattr(qmod, "apply_int8_bf16"):  # ViT: bf16 activation carrier
+        rows["int8bf"] = timeit(chain(
+            lambda xx: qmod.apply_int8_bf16(pspec, qmodel, xx)), x_int8)
     sizes = {"bf16": eng.size_mb(fold16), "w8a16": eng.size_mb(wmodel),
              "w4a16": eng.size_mb(w4model),
              "bf16s2d": eng.size_mb(fold16), "w8s2d": eng.size_mb(wmodel),
              "int8": eng.size_mb(qmodel), "int8mx": eng.size_mb(qmodel),
+             "int8bf": eng.size_mb(qmodel),
              "fp32": eng.size_mb(eng.folded)}
     for m, ms in rows.items():
         print(f"{name:16s} {m:6s} {ms:7.2f} ms/b{B}  {B/ms*1e3:10,.0f} img/s  {sizes[m]:6.2f} MB")
