@@ -15,5 +15,7 @@ python pruning/main.py choice=1 experiment_name=vt2 source_exp_name=vt2 \
     model_name=vit_tiny_patch16_224 $COMMON pruning_ratio=0.1 round_to=8 \
     finetune_epochs=4 || exit 1
 python quantization/main.py experiment_name=vt2 model_type=pruned \
-    pruning_exp_name=vt2 student_model=vit_tiny_patch16_224 $COMMON || exit 1
+    pruning_exp_name=vt2 student_model=vit_tiny_patch16_224 $COMMON \
+    "methods=('static_int8','static_int8_bf16','dynamic_int8','fp16','weight_only_int8')" \
+    || exit 1
 echo VT2_DONE
