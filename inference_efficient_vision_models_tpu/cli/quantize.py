@@ -169,6 +169,17 @@ def run_quantize(cfg, logger, data, split):
             except Exception as e:  # reference catches per-method, :310-314
                 logger.error("method %s failed: %s", method, e)
                 logger.error(traceback.format_exc())
+        if getattr(cfg, "sensitivity", False):
+            try:
+                import pandas as pd
+
+                srows = engine.sensitivity(calib, eval_data=test_d)
+                sp = os.path.join(cfg.output_dir, f"sensitivity_fold{fold}.csv")
+                pd.DataFrame(srows).to_csv(sp, index=False)
+                logger.info("wrote %s", sp)
+            except Exception as e:  # same isolation as the methods
+                logger.error("sensitivity sweep failed: %s", e)
+                logger.error(traceback.format_exc())
     summarize_folds(rows, cfg.output_dir, logger, name="quantization_summary")
     return rows
 

@@ -4,6 +4,7 @@ from .observers import (
     minmax_qparams_symmetric_per_channel,
 )
 from .engine import QuantizationEngine, quant_module
+from .sensitivity import tap_sensitivity
 from . import qeffnet, qmobilenet, qresnet, qvit, wo4, wo8
 
 __all__ = [
@@ -12,6 +13,7 @@ __all__ = [
     "minmax_qparams_symmetric_per_channel",
     "QuantizationEngine",
     "quant_module",
+    "tap_sensitivity",
     "qresnet",
     "qmobilenet",
     "qeffnet",

@@ -272,6 +272,28 @@ class QuantizationEngine:
             return s2d_preprocess
         return None
 
+    def sensitivity(self, calib_data, eval_data=None):
+        """Per-quantization-point sensitivity rows (quant/sensitivity.py):
+        calibrate with cfg's observer, then fake-quant ONE tap at a time and
+        record its isolated logit distortion vs the clean float forward —
+        the measured basis for per-family mixed-precision choices."""
+        from .sensitivity import tap_sensitivity
+
+        loader = Batches(calib_data[0], calib_data[1], self.cfg.batch_size)
+        observers = self.q.calibrate(
+            self.spec,
+            self.folded,
+            loader,
+            max_images=self.cfg.calibration_images,
+            observer=getattr(self.cfg, "observer", "minmax"),
+            percentile=getattr(self.cfg, "percentile", 99.99),
+        )
+        ev = eval_data if eval_data is not None else calib_data
+        return tap_sensitivity(
+            self.spec, self.q, self.folded, observers, ev,
+            batch_size=self.cfg.batch_size, logger=self.logger,
+        )
+
     def evaluate_accuracy(self, apply_fn, test_d, host_preprocess=None) -> float:
         return evaluate_accuracy_fn(self.cfg, apply_fn, test_d, host_preprocess)
 

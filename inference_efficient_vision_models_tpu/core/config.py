@@ -252,6 +252,10 @@ class QuantConfig(BaseConfig):
         # 'weight_only_int4' (W4A16, ~7.4× weight compression at bf16
         # throughput — compress/quant/wo4) and 'bf16'.
         self.methods = ("static_int8", "dynamic_int8", "fp16", "weight_only_int8")
+        # Per-quantization-point sensitivity sweep (compress/quant/
+        # sensitivity): fake-quant one tap at a time, rank by isolated logit
+        # distortion; writes sensitivity_fold{k}.csv next to the summary.
+        self.sensitivity = False
         self.fold_id = 0
         self.teacher_exp_path: Optional[str] = None
         self.student_exp_path: Optional[str] = None

@@ -91,12 +91,24 @@ def test_stage4_quantize_cli_and_artifact_roundtrip(pipeline_env):
     rows = quantize.main(_argv(
         common, choice=1, model_type="pruned", pruning_exp_name="e2e",
         student_model="resnet18", calibration_images=32,
-        methods=("static_int8", "weight_only_int8"),
+        methods=("static_int8", "weight_only_int8"), sensitivity=True,
     ))
     by_method = {}
     for r in rows:
         by_method.setdefault(r["method"], []).append(r["Accuracy"])
     assert set(by_method) >= {"fp32", "static_int8", "weight_only_int8"}, by_method
+
+    # sensitivity=True wrote the per-fold tap-sensitivity CSV next to the
+    # summary (stem/feat + one row per conv tap + the two aggregates)
+    import csv
+
+    qdir = os.path.join(common["artifacts_root"], "quantization", "e2e")
+    for fold in range(2):
+        with open(os.path.join(qdir, f"sensitivity_fold{fold}.csv")) as f:
+            srows = list(csv.DictReader(f))
+        taps = {r["tap"] for r in srows}
+        assert {"stem", "feat", "__weights__", "__all__"} <= taps, taps
+        assert all(float(r["logit_rmse"]) >= 0 for r in srows)
 
     # choice=2: reload every saved artifact and re-evaluate
     rows2 = quantize.main(_argv(
