@@ -85,3 +85,30 @@ def test_predictor_mesh_rejects_indivisible_batch():
     mesh = make_mesh(model_parallel=1)  # data axis = 8
     with pytest.raises(ValueError):
         Predictor(lambda x: x, batch_size=12, mesh=mesh)
+
+
+def test_dp_sharded_vit_bf16_executor_matches_single_device():
+    """The ViT bf16-carrier int8 executor (static_int8_bf16) sharded
+    batch-over-data-axis matches the single-device program — per-example
+    math is independent, so DP sharding only changes layout (bf16 fusion
+    differences bounded)."""
+    from tests.test_vit import _tiny_vit
+
+    from inference_efficient_vision_models_tpu.compress.quant import qvit
+
+    spec, params, state = _tiny_vit(seed=8)
+    folded = qvit.fold(spec, params, state)
+    rng = np.random.default_rng(4)
+    imgs = rng.integers(0, 255, (16, 32, 32, 3)).astype(np.uint8)
+    observers = qvit.calibrate(
+        spec, folded, Batches(imgs, np.zeros(16, np.int32), 16), max_images=16
+    )
+    qmodel = qvit.convert_static_int8(spec, folded, observers, image_size=(32, 32))
+    serve = jax.jit(lambda q, v: qvit.apply_int8_bf16(spec, q, v))
+    ref = np.asarray(serve(qmodel, jnp.asarray(imgs)))
+
+    mesh = make_mesh(model_parallel=1)
+    with mesh:
+        got = np.asarray(serve(replicate(mesh, qmodel), shard_batch(mesh, imgs)))
+    np.testing.assert_allclose(got, ref, atol=2e-2, rtol=1e-2)
+    assert (got.argmax(1) == ref.argmax(1)).all()
