@@ -126,7 +126,9 @@ class QuantizationEngine:
         fine-tune runs between calibration and conversion (see qat.py).
         ``executor='mixed'`` returns the mixed-precision forward (int8 1×1
         convs + bf16 depthwise, MBConv families only) over the SAME int8
-        artifact — see qeffnet/qmobilenet.apply_int8_mixed."""
+        artifact — see qeffnet/qmobilenet.apply_int8_mixed; ``'bf16'``
+        the bf16 activation-carrier forward (ViTs only) — see
+        qvit.apply_int8_bf16."""
         loader = Batches(calib_data[0], calib_data[1], self.cfg.batch_size)
         observers = self.q.calibrate(
             self.spec,
