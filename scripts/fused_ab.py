@@ -47,6 +47,7 @@ def timeit(fn, x, k=16, iters=5):
 B = 256
 x_np = np.random.default_rng(0).integers(0, 255, (B, 224, 224, 3)).astype(np.uint8)
 for name in ("efficientnet_b0", "mobilenet_v2"):
+  try:  # per-family isolation: one family's failure keeps the other's numbers
     with jax.default_device(jax.devices("cpu")[0]):
         spec, params, state = create_model(name, num_classes=6)
         pspec, pp, ps = prune_model(spec, params, state, ratio=0.1, method="l2", round_to=8)
@@ -62,12 +63,17 @@ for name in ("efficientnet_b0", "mobilenet_v2"):
     x_u8 = device_materialize(jnp.asarray(x_np))
     xf = device_materialize(jnp.asarray(x_np).astype(jnp.float32))
 
-    # correctness gate before timing: fused logits match unfused
+    # correctness gate before timing: fused must agree with unfused up to
+    # the contracted tolerance — ±1 requant quantum per block output
+    # (tests/test_fused_mbconv.py): the kernel's reciprocal-multiply requant
+    # vs the op chain's division can flip a rounding at half-quantum
+    # boundaries, so exact logits aren't promised, matching argmax is.
     lo_a = np.asarray(jax.jit(lambda xx: qmod.apply_int8(pspec, qmodel, xx))(x_u8[:8]))
     lo_b = np.asarray(jax.jit(
         lambda xx: fusedpath.apply_int8_fused(pspec, qmodel, qf, xx))(x_u8[:8]))
     err = float(np.max(np.abs(lo_a - lo_b)))
-    assert err < 1e-2, f"{name}: fused/unfused logits diverge ({err})"
+    assert (lo_a.argmax(1) == lo_b.argmax(1)).all(), f"{name}: fused argmax diverges"
+    assert err < 0.1, f"{name}: fused/unfused logits diverge ({err})"
 
     rows = {}
     rows["int8 unfused"] = timeit(chain(lambda xx: qmod.apply_int8(pspec, qmodel, xx)), x_u8)
@@ -80,3 +86,7 @@ for name in ("efficientnet_b0", "mobilenet_v2"):
     print(f"{name:16s} fused speedup vs unfused: "
           f"{rows['int8 unfused']/rows['int8 fused']:.2f}x; "
           f"vs bf16: {rows['bf16 folded']/rows['int8 fused']:.2f}x  (max|dlogit| {err:.2e})")
+  except Exception as e:
+    import traceback
+    traceback.print_exc()
+    print(f"{name}: FAILED ({e})")
