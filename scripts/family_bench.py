@@ -25,24 +25,34 @@ enable_compilation_cache()
 
 from inference_efficient_vision_models_tpu.core.config import QuantConfig
 
-def chain(body, k=16):
+def chain(body, k):
     def b(i, x):
         out = body(x)
         return x + (jnp.sum(out.astype(jnp.float32)) > 0).astype(x.dtype)
     return jax.jit(lambda x: lax.fori_loop(0, k, b, x))
 
-def timeit(fn, x, k=16, iters=5):
-    # median over >=5 rounds, fetching one scalar per round to force
-    # end-to-end delivery — block_until_ready alone can return absurdly
-    # early over the axon tunnel (see verify skill / scripts/device_time.py)
-    r = fn(x); float(np.asarray(r).ravel()[0])
+def _timeit_once(fn, x, iters=5):
+    # median over >=5 rounds; force end-to-end delivery of ONE SCALAR via a
+    # device-side slice (jnp indexing) — np.asarray(r) would transfer the
+    # whole carrier array over the axon tunnel (154 MB for fp32 b256) and
+    # dominate the measurement; block_until_ready alone can return absurdly
+    # early (verify skill / scripts/device_time.py)
+    r = fn(x); float(jnp.ravel(r)[0])
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         r = fn(x)
-        float(np.asarray(r).ravel()[0])
+        float(jnp.ravel(r)[0])
         times.append(time.perf_counter() - t0)
-    return float(np.median(times)) / k * 1e3
+    return float(np.median(times))
+
+def timeit(body, x, k=16, iters=5):
+    # per-iteration device time from the K vs 2K chained difference: the
+    # constant per-call overhead (dispatch + tunnel round trip + scalar
+    # fetch) cancels — same protocol as bench.py:_chained_ms
+    t_k = _timeit_once(chain(body, k), x, iters)
+    t_2k = _timeit_once(chain(body, 2 * k), x, iters)
+    return max(t_2k - t_k, 1e-9) / k * 1e3
 
 B = 256
 x_np = np.random.default_rng(0).integers(0, 255, (B, 224, 224, 3)).astype(np.uint8)
@@ -66,14 +76,14 @@ for name in ("resnet18", "mobilenet_v2", "efficientnet_b0", "vit_small_patch16_2
         x_int8 = device_materialize(jnp.asarray(x_np))
     xf = device_materialize(jnp.asarray(x_np).astype(jnp.float32))
     rows = {}
-    rows["bf16"] = timeit(chain(
-        lambda xx: qmod.apply_folded(pspec, fold16, xx.astype(jnp.bfloat16) / 255.0)), xf)
-    rows["w8a16"] = timeit(chain(
+    rows["bf16"] = timeit(
+        lambda xx: qmod.apply_folded(pspec, fold16, xx.astype(jnp.bfloat16) / 255.0), xf)
+    rows["w8a16"] = timeit(
         lambda xx: qmod.apply_folded(pspec, wo8.dequantize(wmodel, jnp.bfloat16),
-                                     xx.astype(jnp.bfloat16) / 255.0)), xf)
-    rows["w4a16"] = timeit(chain(
+                                     xx.astype(jnp.bfloat16) / 255.0), xf)
+    rows["w4a16"] = timeit(
         lambda xx: qmod.apply_folded(pspec, wo4.dequantize(w4model, jnp.bfloat16),
-                                     xx.astype(jnp.bfloat16) / 255.0)), xf)
+                                     xx.astype(jnp.bfloat16) / 255.0), xf)
     # s2d-folded uint8 stem variants (normalize+stem fused, no 3-lane tensor)
     from inference_efficient_vision_models_tpu.compress.quant import stemfold
     from inference_efficient_vision_models_tpu.compress.quant.engine import float_stem_spec
@@ -83,18 +93,18 @@ for name in ("resnet18", "mobilenet_v2", "efficientnet_b0", "vit_small_patch16_2
         sfn16 = stemfold.make_float_stem_s2d(
             eng.folded[key]["w"], eng.folded[key]["b"],
             stride=sstride, padding=spad, act=sact, dtype=jnp.bfloat16)
-        rows["bf16s2d"] = timeit(chain(
-            lambda xx: qmod.apply_folded(pspec, fold16, None, stem_out=sfn16(xx))), x_int8)
-        rows["w8s2d"] = timeit(chain(
+        rows["bf16s2d"] = timeit(
+            lambda xx: qmod.apply_folded(pspec, fold16, None, stem_out=sfn16(xx)), x_int8)
+        rows["w8s2d"] = timeit(
             lambda xx: qmod.apply_folded(pspec, wo8.dequantize(wmodel, jnp.bfloat16),
-                                         None, stem_out=sfn16(xx))), x_int8)
-    rows["int8"] = timeit(chain(lambda xx: qmod.apply_int8(pspec, qmodel, xx)), x_int8)
+                                         None, stem_out=sfn16(xx)), x_int8)
+    rows["int8"] = timeit(lambda xx: qmod.apply_int8(pspec, qmodel, xx), x_int8)
     if hasattr(qmod, "apply_int8_mixed"):  # MBConv: int8 1x1 + bf16 dw
-        rows["int8mx"] = timeit(chain(
-            lambda xx: qmod.apply_int8_mixed(pspec, qmodel, xx)), x_int8)
+        rows["int8mx"] = timeit(
+            lambda xx: qmod.apply_int8_mixed(pspec, qmodel, xx), x_int8)
     if hasattr(qmod, "apply_int8_bf16"):  # ViT: bf16 activation carrier
-        rows["int8bf"] = timeit(chain(
-            lambda xx: qmod.apply_int8_bf16(pspec, qmodel, xx)), x_int8)
+        rows["int8bf"] = timeit(
+            lambda xx: qmod.apply_int8_bf16(pspec, qmodel, xx), x_int8)
     sizes = {"bf16": eng.size_mb(fold16), "w8a16": eng.size_mb(wmodel),
              "w4a16": eng.size_mb(w4model),
              "bf16s2d": eng.size_mb(fold16), "w8s2d": eng.size_mb(wmodel),

@@ -26,22 +26,32 @@ from inference_efficient_vision_models_tpu.core.config import QuantConfig
 enable_compilation_cache()
 
 
-def chain(body, k=16):
+def chain(body, k):
     def b(i, x):
         out = body(x)
         return x + (jnp.sum(out.astype(jnp.float32)) > 0).astype(x.dtype)
     return jax.jit(lambda x: lax.fori_loop(0, k, b, x))
 
 
-def timeit(fn, x, k=16, iters=5):
-    r = fn(x); float(np.asarray(r).ravel()[0])
+def _timeit_once(fn, x, iters=5):
+    # one-SCALAR fetch via a device-side slice: np.asarray(r) would pull the
+    # whole carrier over the axon tunnel and dominate the measurement
+    r = fn(x); float(jnp.ravel(r)[0])
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         r = fn(x)
-        float(np.asarray(r).ravel()[0])
+        float(jnp.ravel(r)[0])
         times.append(time.perf_counter() - t0)
-    return float(np.median(times)) / k * 1e3
+    return float(np.median(times))
+
+
+def timeit(body, x, k=16, iters=5):
+    # K vs 2K chained difference cancels every constant per-call cost
+    # (dispatch, tunnel round trip, scalar fetch) — bench.py:_chained_ms
+    t_k = _timeit_once(chain(body, k), x, iters)
+    t_2k = _timeit_once(chain(body, 2 * k), x, iters)
+    return max(t_2k - t_k, 1e-9) / k * 1e3
 
 
 B = 256
@@ -76,11 +86,11 @@ for name in ("efficientnet_b0", "mobilenet_v2"):
     assert err < 0.1, f"{name}: fused/unfused logits diverge ({err})"
 
     rows = {}
-    rows["int8 unfused"] = timeit(chain(lambda xx: qmod.apply_int8(pspec, qmodel, xx)), x_u8)
-    rows["int8 fused"] = timeit(chain(
-        lambda xx: fusedpath.apply_int8_fused(pspec, qmodel, qf, xx)), x_u8)
-    rows["bf16 folded"] = timeit(chain(
-        lambda xx: qmod.apply_folded(pspec, fold16, xx.astype(jnp.bfloat16) / 255.0)), xf)
+    rows["int8 unfused"] = timeit(lambda xx: qmod.apply_int8(pspec, qmodel, xx), x_u8)
+    rows["int8 fused"] = timeit(
+        lambda xx: fusedpath.apply_int8_fused(pspec, qmodel, qf, xx), x_u8)
+    rows["bf16 folded"] = timeit(
+        lambda xx: qmod.apply_folded(pspec, fold16, xx.astype(jnp.bfloat16) / 255.0), xf)
     for m, ms in rows.items():
         print(f"{name:16s} {m:13s} {ms:8.2f} ms/b{B}  {B/ms*1e3:10,.0f} img/s")
     print(f"{name:16s} fused speedup vs unfused: "

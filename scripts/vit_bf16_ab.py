@@ -51,23 +51,34 @@ def accuracy(fn, n_max=600):
     return float((np.concatenate(preds) == test_labels[:n]).mean())
 
 
-def chained_ms(fn, x, k=8, iters=5):
-    # median over >=5 rounds, one fetched scalar per round (verify skill:
-    # block_until_ready alone can return early over the axon tunnel)
+def _chain(fn, k):
     def body(i, xx):
         out = fn(xx)
         return xx + (jnp.sum(out.astype(jnp.float32)) > 0).astype(xx.dtype)
 
-    cf = jax.jit(lambda xx: lax.fori_loop(0, k, body, xx))
+    return jax.jit(lambda xx: lax.fori_loop(0, k, body, xx))
+
+
+def _timeit_once(cf, x, iters=5):
+    # one-SCALAR fetch via a device-side slice (np.asarray(r) would pull the
+    # whole carrier over the axon tunnel); median, never min
     r = cf(x)
-    float(np.asarray(r).ravel()[0])
+    float(jnp.ravel(r)[0])
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         r = cf(x)
-        float(np.asarray(r).ravel()[0])
+        float(jnp.ravel(r)[0])
         times.append(time.perf_counter() - t0)
-    return float(np.median(times)) / k * 1e3
+    return float(np.median(times))
+
+
+def chained_ms(fn, x, k=8, iters=5):
+    # K vs 2K chained difference cancels every constant per-call cost
+    # (dispatch, tunnel round trip, scalar fetch) — bench.py:_chained_ms
+    t_k = _timeit_once(_chain(fn, k), x, iters)
+    t_2k = _timeit_once(_chain(fn, 2 * k), x, iters)
+    return max(t_2k - t_k, 1e-9) / k * 1e3
 
 accs = {"fp32_carrier": [], "bf16_carrier": []}
 for fold in range(5):
