@@ -187,19 +187,27 @@ def main():
     x = device_materialize(jnp.asarray(space_to_depth_u8(x_full)))
 
     # ---- serving throughput: pipelined per-call dispatch ------------------
-    for _ in range(5):
+    # median-of-5 rounds; each round syncs by fetching ONE scalar through a
+    # device-side slice (block_until_ready can return early over the axon
+    # tunnel, and min-of-N then under-reports dt → inflated img/s); the
+    # N-vs-2N difference cancels the constant round costs (final sync +
+    # scalar fetch round trip), leaving pure pipelined dispatch time.
+    def _stream_dt(iters):
         r = fwd(x)
-    r.block_until_ready()
+        float(jnp.ravel(r)[0])  # warm + drain
+        ts = []
+        for _round in range(5):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                r = fwd(x)
+            float(jnp.ravel(r)[0])
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
     iters = 40
-    best_dt = float("inf")
-    for _round in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = fwd(x)
-        r.block_until_ready()
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    ips = BATCH * iters / best_dt
-    batch_ms = best_dt / iters * 1e3
+    dt = max(_stream_dt(2 * iters) - _stream_dt(iters), 1e-9)
+    ips = BATCH * iters / dt
+    batch_ms = dt / iters * 1e3
 
     # ---- serving runtime: sustained host→device stream --------------------
     # N host-side uint8 batches through Predictor.predict_logits INCLUDING

@@ -98,15 +98,22 @@ def throughput_ips(
     fn: Callable, *args, batch_size: int, warmup: int = 5, iters: int = 30,
     budget_s: float = 15.0,
 ) -> float:
-    """Steady-state images/sec: pipelined dispatch, one sync at the end."""
+    """Steady-state images/sec: pipelined dispatch, one sync per round,
+    MEDIAN over 5 rounds. block_until_ready occasionally returns early over
+    the axon transport; a single-round measurement (or min-of-N) then
+    under-reports dt and inflates img/s, while the leftover queue lands in
+    the following round — the median over 5 rounds rejects both tails."""
     warmup, iters = _budgeted(fn, args, warmup, iters, budget_s)
+    rounds, iters_r = 5, max(3, iters // 5)
     r = fn(*args)
     for _ in range(warmup):
         r = fn(*args)
     jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn(*args)
-    jax.block_until_ready(r)
-    dt = time.perf_counter() - t0
-    return batch_size * iters / dt
+    ts = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(iters_r):
+            r = fn(*args)
+        jax.block_until_ready(r)
+        ts.append(time.perf_counter() - t0)
+    return batch_size * iters_r / float(np.median(ts))
