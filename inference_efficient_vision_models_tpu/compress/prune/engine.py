@@ -271,9 +271,13 @@ class StructuredPruningEngine:
             seed=self.cfg.seed,
             grads=grads,
         )
-        self.logger.info(
-            "pruned → stem %d, stages %s", self.spec.stem_width, self.spec.stage_widths
-        )
+        if hasattr(self.spec, "stage_widths"):  # CNN families
+            self.logger.info(
+                "pruned → stem %d, stages %s",
+                self.spec.stem_width, self.spec.stage_widths,
+            )
+        else:  # ViT: widths live per-block (head/MLP pruning)
+            self.logger.info("pruned → %s", self.spec.name)
         return self.spec, self.params, self.state
 
     def finetune(self, train_d, val_d, fold_dir):

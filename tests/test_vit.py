@@ -327,3 +327,32 @@ def test_vit_static_int8_bf16_executor(tmp_path):
     _, _, fn2, pre = load_quantized(str(tmp_path), "static_int8_bf16")
     assert pre is None
     np.testing.assert_allclose(np.asarray(fn2(x)), b16, rtol=1e-5, atol=1e-5)
+
+
+def test_vit_structured_pruning_engine_class():
+    """Stage-3 CLI engine class on a ViT (regression: its post-prune log
+    line assumed CNN spec fields and crashed the vt2 pipeline run with
+    AttributeError: ViTSpec has no stem_width)."""
+    import logging
+
+    from inference_efficient_vision_models_tpu.compress.prune.engine import (
+        StructuredPruningEngine,
+    )
+
+    class Cfg:
+        pruning_ratio = 0.25
+        pruning_method = "l2"
+        global_pruning = False
+        round_to = 8
+        seed = 0
+        finetune_epochs = 0
+
+    spec, params, state = _tiny_vit(seed=9)
+    eng = StructuredPruningEngine(Cfg(), spec, params, state, logging.getLogger("p"))
+    pspec, pparams, _ = eng.prune_model()
+    assert pspec.dim == spec.dim  # head/MLP pruning keeps the embed dim
+    assert any(
+        pparams["blocks"][str(i)]["mlp1"]["w"].shape[1]
+        < spec.dim * int(spec.mlp_ratio)
+        for i in range(spec.depth)
+    )
