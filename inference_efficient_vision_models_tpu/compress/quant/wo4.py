@@ -91,12 +91,32 @@ def _unpack_scale(x, dtype):
     return wf.reshape(*q.shape).astype(dtype)
 
 
-def convert_weight_only_int4(folded) -> Dict[str, Any]:
-    """Folded fp32 model -> same-structure tree with packed-int4 ``"w"``
-    leaves ({"q4","s"}); odd-out-channel weights keep the W8A16 int8 leaf
-    ({"q","s"}). Mirrors wo8.convert_weight_only's walk."""
+def _keep_int8_auto(path, a) -> bool:
+    """Default int8-fallback policy: int4 only where the bytes are.
 
-    def walk(node):
+    Depthwise kernels (HWIO with I/groups == 1 — 9 taps per channel, no
+    cross-channel mixing to average quantization error) and tiny-reduction
+    kernels (stems: r = k*k*3 = 27) carry <2% of a MBConv model's weight
+    bytes but are exactly where naive int4 collapses accuracy (ef2 measured
+    −22 pts with int4-everything vs −0.5 for W8A16). Keeping them int8
+    costs ~nothing in size and rescues the mode."""
+    return (a.ndim == 4 and a.shape[2] == 1) or int(np.prod(a.shape[:-1])) < 32
+
+
+def convert_weight_only_int4(folded, *, keep_int8=_keep_int8_auto) -> Dict[str, Any]:
+    """Folded fp32 model -> same-structure tree with packed-int4 ``"w"``
+    leaves ({"q4","s"}); odd-out-channel weights and leaves selected by
+    ``keep_int8(path, arr)`` keep the W8A16 per-channel int8 leaf
+    ({"q","s"}). Mirrors wo8.convert_weight_only's walk.
+
+    ``keep_int8``: policy predicate (key-path tuple, np.ndarray) -> bool;
+    pass ``lambda p, a: False`` for int4-everything (the A/B baseline)."""
+
+    def _int8_leaf(a):
+        w_q, scale = quantize_weight_per_channel(a, channel_axis=a.ndim - 1)
+        return {"q": w_q, "s": scale}
+
+    def walk(node, path=()):
         if isinstance(node, dict):
             out = {}
             for k, v in node.items():
@@ -107,15 +127,14 @@ def convert_weight_only_int4(folded) -> Dict[str, Any]:
                     and a.ndim >= 2
                     and a.dtype == np.float32
                 ):
-                    if a.shape[-1] % 2 == 0:
+                    if a.shape[-1] % 2 != 0 or (
+                        keep_int8 is not None and keep_int8(path + (k,), a)
+                    ):
+                        out[k] = _int8_leaf(a)
+                    else:
                         out[k] = quantize_weight_int4(a)
-                    else:  # unpackable: per-channel int8 fallback (wo8 leaf)
-                        w_q, scale = quantize_weight_per_channel(
-                            a, channel_axis=a.ndim - 1
-                        )
-                        out[k] = {"q": w_q, "s": scale}
                 else:
-                    out[k] = walk(v)
+                    out[k] = walk(v, path + (k,))
             return out
         return np.asarray(node)
 

@@ -32,7 +32,8 @@ enable_compilation_cache()
 logging.basicConfig(level=logging.INFO)
 log = logging.getLogger("vit_ab")
 
-cfg = QuantConfig(experiment_name="vt1", choice=2)
+cfg = QuantConfig(experiment_name="vt1", choice=2, synthetic_size=600,
+                  num_folds=5)  # must match regen_pipelines.sh's vt1 protocol
 test_imgs, test_labels = load_dataset(cfg, log)["test"]
 EVAL_BS = 32
 
