@@ -119,7 +119,9 @@ def run_quantize(cfg, logger, data, split):
             "fp16": lambda: engine.cast_half(jnp.float16),
             "bf16": lambda: engine.cast_half(jnp.bfloat16),
             "weight_only_int8": lambda: engine.weight_only_quantize(),
-            "weight_only_int4": lambda: engine.weight_only_quantize(bits=4),
+            "weight_only_int4": lambda: engine.weight_only_quantize(
+                bits=4, train_data=train_d
+            ),
         }
         wanted = ("fp32",) + tuple(cfg.methods)
         for method in wanted:

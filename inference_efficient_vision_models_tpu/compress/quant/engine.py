@@ -215,17 +215,40 @@ class QuantizationEngine:
         fn = jax.jit(fwd)
         return model, functools.partial(fn, model)
 
-    def weight_only_quantize(self, dtype=jnp.bfloat16, bits: int = 8):
+    def weight_only_quantize(
+        self, dtype=jnp.bfloat16, bits: int = 8, train_data=None
+    ):
         """W8A16 (bits=8, see wo8) / W4A16 (bits=4, see wo4): quantized
         weight storage dequantized to bf16 inside the jit. The TPU-native
         serving mode for families whose full-int8 path is bandwidth-bound
         below bf16 (MBConv nets): bf16 throughput at ~3.9× (int8) or ~7.4×
-        (packed int4 + group scales) weight compression."""
+        (packed int4 + group scales) weight compression.
+
+        With cfg.qat_epochs > 0, ``train_data``, and bits=4, a W4-targeted
+        quantization-aware fine-tune runs before conversion (see
+        qat.w4_qat_finetune): MBConv nets lose double digits under 4-bit
+        round-to-nearest even with the int8-fallback policy, and the int4
+        grid is coarse enough that only training against it recovers them."""
         import functools
 
         if bits == 4:
             from . import wo4 as wo
-            model = device_materialize(wo.convert_weight_only_int4(self.folded))
+
+            folded = self.folded
+            qat_epochs = int(getattr(self.cfg, "qat_epochs", 0))
+            if qat_epochs > 0 and train_data is not None:
+                from .qat import w4_qat_finetune
+
+                self.logger.info("W4 QAT fine-tune: %d epoch(s)", qat_epochs)
+                folded = w4_qat_finetune(
+                    self.spec, self.q, folded, train_data,
+                    epochs=qat_epochs,
+                    lr=float(getattr(self.cfg, "qat_lr", 1e-5)),
+                    batch_size=self.cfg.batch_size,
+                    logger=self.logger,
+                    debug=self.cfg.DEBUG_MODE,
+                )
+            model = device_materialize(wo.convert_weight_only_int4(folded))
         else:
             from . import wo8 as wo
             model = device_materialize(wo.convert_weight_only(self.folded))

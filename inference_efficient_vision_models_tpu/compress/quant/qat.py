@@ -42,7 +42,15 @@ from jax import lax
 
 from .observers import EPS, ObserverState, minmax_qparams_affine
 
-__all__ = ["fake_quant_act", "fake_quant_weight", "fq_weights", "qat_finetune"]
+__all__ = [
+    "fake_quant_act",
+    "fake_quant_weight",
+    "fake_quant_weight_int4",
+    "fq_weights",
+    "fq_weights_w4",
+    "qat_finetune",
+    "w4_qat_finetune",
+]
 
 
 def fake_quant_act(x, scale: float, zp: int):
@@ -70,6 +78,25 @@ def fake_quant_weight(w, channel_axis: int):
     return w + lax.stop_gradient(deq - w)
 
 
+def fake_quant_weight_int4(w):
+    """Simulated group-wise symmetric int4 weight quantization (STE).
+
+    Jittable mirror of ``wo4.quantize_weight_int4``'s grid: the flattened
+    reduction axis is split into the same shape-derived groups
+    (``wo4._pick_group``), scales are max|w|/7 per (group, out-channel),
+    values round to [-7, 7]. Scales are recomputed from the live weights
+    each step, matching what conversion does to the final weights."""
+    from .wo4 import _pick_group
+
+    out = w.shape[-1]
+    r = int(np.prod(w.shape[:-1]))
+    g = _pick_group(r)
+    wg = w.reshape(r // g, g, out)
+    s = jnp.maximum(jnp.max(jnp.abs(wg), axis=1, keepdims=True) / 7.0, 1e-12)
+    deq = (jnp.clip(jnp.round(wg / s), -7, 7) * s).reshape(w.shape)
+    return w + lax.stop_gradient(deq - w)
+
+
 def fq_weights(folded):
     """Fake-quantize every weight leaf of a folded pytree (differentiable).
 
@@ -91,6 +118,83 @@ def fq_weights(folded):
         return node
 
     return fq_node(folded)
+
+
+def fq_weights_w4(folded, keep_int8=None):
+    """Fake-quantize weight leaves onto the W4A16 deployment grid.
+
+    Differentiable mirror of ``wo4.convert_weight_only_int4``'s walk: each
+    ``"w"`` leaf gets the int4 group grid, except leaves the ``keep_int8``
+    policy (default ``wo4._keep_int8_auto``) routes to the per-channel int8
+    fallback — exactly the leaves conversion will keep int8. Biases and
+    vectors pass through (W4A16 stores them fp32)."""
+    from .wo4 import _keep_int8_auto
+
+    if keep_int8 is None:
+        keep_int8 = _keep_int8_auto
+
+    def walk(node, path=()):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k == "w" and hasattr(v, "ndim") and v.ndim >= 2:
+                    a = jnp.asarray(v)
+                    if a.shape[-1] % 2 != 0 or keep_int8(path + (k,), a):
+                        out[k] = fake_quant_weight(a, a.ndim - 1)
+                    else:
+                        out[k] = fake_quant_weight_int4(a)
+                else:
+                    out[k] = walk(v, path + (k,))
+            return out
+        return node
+
+    return walk(folded)
+
+
+def w4_qat_finetune(
+    spec, qmod, folded, train_data,
+    *, epochs: int = 1, lr: float = 1e-5, batch_size: int = 32,
+    keep_int8=None, logger=None, debug: bool = False,
+):
+    """Fine-tune the folded model against the simulated W4A16 forward.
+
+    No activation fake-quant — W4A16 serves full-precision (bf16)
+    activations; only the weights see the int4 group grid they will be
+    rounded onto (``fq_weights_w4``). Returns a new folded pytree ready for
+    ``wo4.convert_weight_only_int4`` with the same ``keep_int8`` policy."""
+    from ...data.pipeline import Batches, normalize_images
+    from ...train.losses import cross_entropy
+    from ...train.optim import adamw_init, adamw_update
+
+    params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), folded)
+    opt = adamw_init(params)
+
+    def loss_fn(f, x, labels, mask):
+        logits = qmod.apply_folded(spec, fq_weights_w4(f, keep_int8), x)
+        return cross_entropy(logits, labels, mask)
+
+    @jax.jit
+    def step(f, opt_state, imgs_u8, labels, mask):
+        x = normalize_images(imgs_u8)
+        loss, grads = jax.value_and_grad(loss_fn)(f, x, labels, mask)
+        f2, opt2 = adamw_update(f, grads, opt_state, lr=lr, weight_decay=0.0)
+        return f2, opt2, loss
+
+    for epoch in range(int(epochs)):
+        loader = Batches(
+            train_data[0], train_data[1], batch_size, shuffle=True, seed=epoch
+        )
+        for i, (imgs, labels, mask) in enumerate(loader):
+            if debug and i == 2:
+                break
+            params, opt, loss = step(
+                params, opt, jnp.asarray(imgs), jnp.asarray(labels), jnp.asarray(mask)
+            )
+        if logger is not None:
+            logger.info(
+                "W4 QAT epoch %d/%d: loss %.4f", epoch + 1, epochs, float(loss)
+            )
+    return jax.tree.map(lambda a: np.asarray(a, np.float32), jax.device_get(params))
 
 
 def qat_finetune(

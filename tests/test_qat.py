@@ -172,3 +172,71 @@ def test_engine_qat_path():
     acc_ptq = float((np.asarray(fn_ptq(x)).argmax(1) == labels).mean())
     acc_qat = float((np.asarray(fn_qat(x)).argmax(1) == labels).mean())
     assert acc_qat >= acc_ptq - 1e-9, (acc_ptq, acc_qat)
+
+
+def test_fake_quant_weight_int4_matches_conversion():
+    """Forward of fake_quant_weight_int4 == wo4 pack→unpack round trip, for
+    a grouped reduction (r divisible) and a prime-ish one (single group)."""
+    from inference_efficient_vision_models_tpu.compress.quant import wo4
+
+    rng = np.random.default_rng(2)
+    for shape in ((3, 3, 16, 8), (3, 3, 3, 8), (128, 6)):
+        w = rng.normal(0.0, 0.1, shape).astype(np.float32)
+        got = np.asarray(qat.fake_quant_weight_int4(jnp.asarray(w)))
+        want = np.asarray(
+            wo4._unpack_scale(wo4.quantize_weight_int4(w), jnp.float32)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    # STE: gradient of sum is all-ones through the group round/clip
+    g = jax.grad(lambda v: jnp.sum(qat.fake_quant_weight_int4(v)))(jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(g), np.ones_like(w))
+
+
+def test_fq_weights_w4_mirrors_policy():
+    """fq_weights_w4 keeps the pytree structure and routes exactly the
+    leaves wo4's keep_int8 policy keeps int8 onto the int8 grid."""
+    from inference_efficient_vision_models_tpu.compress.quant import (
+        qeffnet,
+        wo4,
+    )
+
+    spec, params, state = create_model("efficientnet_b0", num_classes=6)
+    folded = jax.tree.map(jnp.asarray, qeffnet.fold(spec, params, state))
+    fq = qat.fq_weights_w4(folded)
+    assert jax.tree.structure(fq) == jax.tree.structure(folded)
+    # stem (reduction 27 < 32) is an int8-policy leaf: per-channel int8 grid
+    w = np.asarray(folded["stem"]["w"])
+    assert wo4._keep_int8_auto(("stem", "w"), w)
+    w_q, w_scale = quantize_weight_per_channel(w, channel_axis=3)
+    np.testing.assert_allclose(
+        np.asarray(fq["stem"]["w"]), w_q.astype(np.float32) * w_scale, atol=1e-7
+    )
+    # the classifier matrix is an int4 leaf: matches the wo4 grid
+    w = np.asarray(folded["fc"]["w"])
+    assert not wo4._keep_int8_auto(("fc", "w"), w)
+    want = np.asarray(wo4._unpack_scale(wo4.quantize_weight_int4(w), jnp.float32))
+    np.testing.assert_allclose(np.asarray(fq["fc"]["w"]), want, atol=1e-6)
+
+
+def test_engine_w4_qat_path():
+    """weight_only_quantize(bits=4) with qat_epochs runs W4 QAT; the result
+    is at least as train-accurate as PTQ-only W4 and still a W4 artifact."""
+    from inference_efficient_vision_models_tpu.compress.quant import wo4
+
+    imgs, labels = _toy_data(48, seed=13)
+    spec, params, state = create_model("mobilenet_v2_050", num_classes=6)
+
+    cfg = _Cfg()
+    cfg.qat_epochs = 0
+    eng = QuantizationEngine(cfg, spec, params, state, logging.getLogger("q"))
+    m_ptq, fn_ptq = eng.weight_only_quantize(bits=4)
+
+    cfg2 = _Cfg()
+    eng2 = QuantizationEngine(cfg2, spec, params, state, logging.getLogger("q"))
+    m_qat, fn_qat = eng2.weight_only_quantize(bits=4, train_data=(imgs, labels))
+    assert wo4.is_weight_only_int4(m_qat)
+
+    x = jnp.asarray(imgs)
+    acc_ptq = float((np.asarray(fn_ptq(x)).argmax(1) == labels).mean())
+    acc_qat = float((np.asarray(fn_qat(x)).argmax(1) == labels).mean())
+    assert acc_qat >= acc_ptq - 1e-9, (acc_ptq, acc_qat)
