@@ -98,18 +98,29 @@ def _dyn_dense(x, qd, out_dtype=None):
 
 
 def _int8_attention(qh, kh, vh, hd: int, act_dtype):
-    """Shared attention tail for the int8 ViT executors: QK^T and att·V run
-    in the carrier dtype on the MXU with fp32 accumulation
-    (``preferred_element_type``); softmax stays fp32. With
-    ``act_dtype=float32`` this is bit-identical to the plain fp32 path."""
-    att = jnp.einsum(
-        "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
-    ) * (hd**-0.5)
-    att = jax.nn.softmax(att, axis=-1).astype(act_dtype)
-    out = jnp.einsum(
-        "bhqk,bhkd->bhqd", att, vh, preferred_element_type=jnp.float32
-    ).astype(act_dtype)
-    return out
+    """Shared attention tail for the int8 ViT executors.
+
+    With ``act_dtype=float32`` everything (einsum accumulation, the
+    (B,H,T,T) score tensor, softmax) is fp32 — bit-identical to the plain
+    fp32 path, the reference protocol. With a 16-bit carrier the whole tail
+    runs in the carrier dtype instead, exactly like the folded bf16 model
+    (``apply_folded``): materializing the ~240 MB b256 score tensor in fp32
+    and running an fp32 softmax over it costs ~1.7 ms/block of pure HBM
+    traffic on one chip (scripts/vit_int8_decompose.py) — attention is
+    bandwidth-bound, not precision-bound, and the MXU accumulates bf16
+    products in fp32 internally either way."""
+    if act_dtype == jnp.float32:
+        att = jnp.einsum(
+            "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+        ) * (hd**-0.5)
+        att = jax.nn.softmax(att, axis=-1)
+        return jnp.einsum(
+            "bhqk,bhkd->bhqd", att, vh, preferred_element_type=jnp.float32
+        )
+    qh, kh, vh = (t.astype(act_dtype) for t in (qh, kh, vh))
+    att = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * jnp.asarray(hd**-0.5, act_dtype)
+    att = jax.nn.softmax(att, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", att, vh)
 
 
 def apply_dynamic_int8(spec: ViTSpec, q, x, act_dtype=jnp.float32):
@@ -353,9 +364,12 @@ def apply_int8(spec: ViTSpec, q, x, act_dtype=jnp.float32):
     ``act_dtype`` is the inter-layer activation carrier. The default fp32
     reproduces the reference protocol bit-for-bit; ``bfloat16``
     (``apply_int8_bf16``, method suffix ``static_int8_bf16``) halves the
-    HBM traffic of every LayerNorm / softmax / GELU / residual and runs
-    the two attention einsums at bf16 MXU rate — the affine quant/dequant
-    algebra and the softmax stay fp32, matmul accumulation int32/fp32."""
+    HBM traffic of every LayerNorm / GELU / residual and runs the whole
+    attention tail — einsums, score tensor, softmax — in bf16 like the
+    folded bf16 model (see ``_int8_attention``; worth 1.32× end-to-end at
+    b256, accuracy identical per fold on the vt1 protocol). The affine
+    quant/dequant algebra and LayerNorm statistics stay fp32, matmul
+    accumulation int32/fp32."""
     pe = q["patch_embed"]
     if "e" in pe:
         t = stemfold.apply_u8_stem(pe, x, stride=int(spec.patch), pad=0, act="none")
