@@ -22,6 +22,7 @@ serializable / restore_derived.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Tuple
 
 import jax
@@ -31,6 +32,7 @@ from jax import lax
 
 from ...models import vit as vit_mod
 from ...models.vit import LN_EPS, ViTSpec, _layer_norm
+from ...ops.int8_matmul import int8_matmul_requant
 from . import stemfold
 from .observers import (
     ObserverState,
@@ -337,12 +339,13 @@ def restore_derived(qmodel: Dict) -> Dict:
     return qmodel
 
 
-def _static_dense(x, qd, out_dtype=None):
+def _static_dense(x, qd, out_dtype=None, act=None):
     """(…, K) float → (…, N) x.dtype through a CALIBRATED int8 matmul.
 
     Quantization / affine dequantization run in fp32 whatever the carrier
     dtype; only the returned activation is cast (``out_dtype`` or
-    ``x.dtype``)."""
+    ``x.dtype``). ``act='gelu'`` applies exact-erf GELU to the fp32
+    dequantized output before the cast."""
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
     x_s = quantize_affine_shifted(x2, qd["in_scale"], qd["in_zp"])
@@ -351,7 +354,46 @@ def _static_dense(x, qd, out_dtype=None):
     )
     acc = acc - (qd["in_zp"] - 128) * qd["w_sum"]
     y = acc.astype(jnp.float32) * (qd["in_scale"] * qd["w_scale"]) + qd["b"]
+    if act == "gelu":
+        y = jax.nn.gelu(y, approximate=False)
     return y.astype(out_dtype or x.dtype).reshape(*shape[:-1], -1)
+
+
+def _use_pallas_dense() -> bool:
+    """Fused Pallas int8 dense on TPU; XLA composition elsewhere (Mosaic
+    kernels don't lower on the CPU test backend). IEVM_VIT_PALLAS=0|1
+    overrides."""
+    force = os.environ.get("IEVM_VIT_PALLAS")
+    if force is not None:
+        return force == "1"
+    return jax.default_backend() == "tpu"
+
+
+def _static_dense_fast(x, qd, out_dtype=None, act=None):
+    """bf16-carrier trunk dense: one fused Pallas kernel quantizes the tile
+    in VMEM, runs the int8 MXU dot, the affine epilogue and (mlp1) the
+    erf GELU — the int8 activation tensor never round-trips HBM and the
+    GELU costs no separate elementwise pass (scripts/vit_pallas_tune.py).
+    Without ``act`` the numerics match ``_static_dense`` bit-for-bit (same
+    quantize → int32 dot → fp32 affine chain); with ``act='gelu'`` the
+    in-kernel erf is an A&S 7.1.26 polynomial (max err 5e-7 — below the
+    carrier's bf16 resolution, and ~300× below the downstream int8
+    quantization step; vt1 fold accuracies are identical either way).
+    Verified in tests/test_ops.py."""
+    if not _use_pallas_dense():
+        return _static_dense(x, qd, out_dtype, act=act)
+    shape = x.shape
+    k = shape[-1]
+    # block heuristic from the tune sweep: whole-N blocks, deeper M tiles
+    # for shallow K (VMEM: x bm*K + w K*N + out bm*N, all << 16 MB here)
+    block_m = 512 if k >= 1024 else 1024
+    y = int8_matmul_requant(
+        x.reshape(-1, k), qd["w_q"], qd["w_scale"], qd["b"], qd["w_sum"],
+        in_scale=qd["in_scale"], in_zp=qd["in_zp"], act=act,
+        out_dtype=out_dtype or x.dtype,
+        block_m=block_m, block_n=int(qd["w_q"].shape[1]),
+    )
+    return y.reshape(*shape[:-1], -1)
 
 
 def apply_int8(spec: ViTSpec, q, x, act_dtype=jnp.float32):
@@ -386,19 +428,23 @@ def apply_int8(spec: ViTSpec, q, x, act_dtype=jnp.float32):
         act_dtype
     )
 
+    # fp32 carrier keeps the XLA composition (bit-exact reference protocol);
+    # 16-bit carriers take the fused Pallas dense on TPU.
+    dense = _static_dense if act_dtype == jnp.float32 else _static_dense_fast
+
     hd = spec.head_dim
     for i in range(spec.depth):
         blk = q["blocks"][str(i)]
         heads = blk["qkv"]["w_q"].shape[1] // (3 * hd)
         z = _layer_norm(h, blk["ln1"])
-        qkv = _static_dense(z, blk["qkv"]).reshape(b, -1, 3, heads, hd)
+        qkv = dense(z, blk["qkv"]).reshape(b, -1, 3, heads, hd)
         qh, kh, vh = (qkv[:, :, j].transpose(0, 2, 1, 3) for j in range(3))
         out = _int8_attention(qh, kh, vh, hd, act_dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, heads * hd)
-        h = h + _static_dense(out, blk["proj"])
+        h = h + dense(out, blk["proj"])
         z = _layer_norm(h, blk["ln2"])
-        z = jax.nn.gelu(_static_dense(z, blk["mlp1"]), approximate=False)
-        h = h + _static_dense(z, blk["mlp2"])
+        z = dense(z, blk["mlp1"], act="gelu")
+        h = h + dense(z, blk["mlp2"])
 
     h = _layer_norm(h, q["norm"])
     return _static_dense(h[:, 0], q["head"], out_dtype=jnp.float32)

@@ -52,6 +52,46 @@ def test_int8_matmul_requant_matches_reference(relu, requant):
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize("out_dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("act", [None, "gelu"])
+def test_int8_matmul_fused_quantize_input(act, out_dtype):
+    """Float activations: the kernel quantizes per tile in VMEM
+    (quantize_affine_shifted semantics) before the int8 dot; optional
+    erf-GELU epilogue (A&S 7.1.26 poly, max err 5e-7 — below the bf16
+    resolution of the carrier). Ragged non-128-multiple dims exercised."""
+    import jax
+
+    from inference_efficient_vision_models_tpu.compress.quant.observers import (
+        quantize_affine_shifted,
+    )
+
+    rng = np.random.default_rng(1)
+    M, K, N = 70, 72, 168
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    w_q = rng.integers(-128, 128, (K, N), dtype=np.int8)
+    w_scale = rng.uniform(0.001, 0.01, N).astype(np.float32)
+    bias = rng.standard_normal(N).astype(np.float32)
+    w_sum = w_q.astype(np.int32).sum(axis=0)
+    in_scale, in_zp = 0.031, 119
+
+    got = np.asarray(int8_matmul_requant(
+        jnp.asarray(x, jnp.bfloat16), jnp.asarray(w_q),
+        jnp.asarray(w_scale), jnp.asarray(bias), jnp.asarray(w_sum),
+        in_scale=in_scale, in_zp=in_zp, act=act, out_dtype=out_dtype,
+        block_m=32, block_n=128, interpret=True,
+    )).astype(np.float32)
+    assert got.dtype == np.float32
+
+    x_s = np.asarray(quantize_affine_shifted(
+        jnp.asarray(x, jnp.bfloat16), in_scale, in_zp))
+    ref = _ref_matmul(x_s, w_q, w_scale, bias, in_scale, in_zp, False, None, None)
+    if act == "gelu":
+        ref = np.asarray(jax.nn.gelu(jnp.asarray(ref), approximate=False))
+    ref = np.asarray(jnp.asarray(ref).astype(out_dtype)).astype(np.float32)
+    atol = 2e-2 if out_dtype == jnp.bfloat16 else 1e-4
+    np.testing.assert_allclose(got, ref, rtol=1e-2 if act else 1e-5, atol=atol)
+
+
 @pytest.mark.parametrize("stride,padding,k", [(1, 1, 3), (2, 1, 3), (1, 0, 1), (2, 0, 1)])
 def test_conv_im2col_matches_qresnet_conv(stride, padding, k):
     """im2col int8 conv ≡ the lax-conv int8 path in qresnet."""
