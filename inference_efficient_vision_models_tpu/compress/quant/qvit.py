@@ -428,23 +428,28 @@ def apply_int8(spec: ViTSpec, q, x, act_dtype=jnp.float32):
         act_dtype
     )
 
-    # fp32 carrier keeps the XLA composition (bit-exact reference protocol);
-    # 16-bit carriers take the fused Pallas dense on TPU.
-    dense = _static_dense if act_dtype == jnp.float32 else _static_dense_fast
+    # fp32 carrier keeps the XLA composition (bit-exact reference protocol).
+    # 16-bit carriers take the fused Pallas dense on TPU — but ONLY for the
+    # adjacent mlp1/mlp2 pair: a Mosaic custom call acts as a scheduling
+    # barrier against neighbouring XLA dots, and a measured placement A/B
+    # (REPORT.md, scripts/vit_int8_decompose.py) shows pallas-everywhere is
+    # ~2 ms/model SLOWER than pallas-for-the-MLPs-only (qkv/proj sit between
+    # the XLA attention einsums and pay the transition tax).
+    mlp_dense = _static_dense if act_dtype == jnp.float32 else _static_dense_fast
 
     hd = spec.head_dim
     for i in range(spec.depth):
         blk = q["blocks"][str(i)]
         heads = blk["qkv"]["w_q"].shape[1] // (3 * hd)
         z = _layer_norm(h, blk["ln1"])
-        qkv = dense(z, blk["qkv"]).reshape(b, -1, 3, heads, hd)
+        qkv = _static_dense(z, blk["qkv"]).reshape(b, -1, 3, heads, hd)
         qh, kh, vh = (qkv[:, :, j].transpose(0, 2, 1, 3) for j in range(3))
         out = _int8_attention(qh, kh, vh, hd, act_dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, heads * hd)
-        h = h + dense(out, blk["proj"])
+        h = h + _static_dense(out, blk["proj"])
         z = _layer_norm(h, blk["ln2"])
-        z = dense(z, blk["mlp1"], act="gelu")
-        h = h + dense(z, blk["mlp2"])
+        z = mlp_dense(z, blk["mlp1"], act="gelu")
+        h = h + mlp_dense(z, blk["mlp2"])
 
     h = _layer_norm(h, q["norm"])
     return _static_dense(h[:, 0], q["head"], out_dtype=jnp.float32)

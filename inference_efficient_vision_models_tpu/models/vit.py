@@ -179,13 +179,21 @@ def apply(
     compute_dtype=jnp.float32,
     return_features: bool = False,
     patch_out=None,
+    fused_mlp: bool = False,
 ):
     """Forward: NHWC images → logits. Returns (logits, state) — state is
     passed through unchanged (interface-compatible with models.resnet).
 
     ``patch_out`` (a precomputed (B, H/p, W/p, dim) patch-embed activation)
     skips the in-graph patch conv — the serving hook for the s2d-folded
-    uint8 patch embed (stemfold.make_float_stem_s2d); ``x`` is then ignored."""
+    uint8 patch embed (stemfold.make_float_stem_s2d); ``x`` is then ignored.
+
+    ``fused_mlp=True`` routes mlp1+GELU through the Pallas fused kernel
+    (`ops/fused_dense.py`) — SERVING ONLY: the kernel is forward-only (no
+    VJP), so training/grad paths must keep the default. Off by default
+    everywhere: measured end-to-end it LOSES ~5 ms/b256 on TPU despite
+    winning in isolation (Mosaic↔XLA-dot scheduling barrier — see
+    ops/fused_dense.py's docstring and REPORT.md "Pallas placement")."""
     del train  # no dropout/BN in the inference-efficiency configuration
     dtype = compute_dtype
     if patch_out is None:
@@ -207,10 +215,17 @@ def apply(
         h = h + _attention(_layer_norm(h, blk["ln1"]), blk, spec.head_dim, dtype)
         m = _layer_norm(h, blk["ln2"])
         # exact (erf) GELU — timm/torch nn.GELU semantics, for weight-import parity
-        m = jax.nn.gelu(
-            (m @ blk["mlp1"]["w"].astype(dtype)) + blk["mlp1"]["b"].astype(dtype),
-            approximate=False,
-        )
+        if fused_mlp:
+            from ..ops.fused_dense import dense_gelu
+
+            m = dense_gelu(
+                m, blk["mlp1"]["w"].astype(dtype), blk["mlp1"]["b"].astype(dtype)
+            )
+        else:
+            m = jax.nn.gelu(
+                (m @ blk["mlp1"]["w"].astype(dtype)) + blk["mlp1"]["b"].astype(dtype),
+                approximate=False,
+            )
         m = (m @ blk["mlp2"]["w"].astype(dtype)) + blk["mlp2"]["b"].astype(dtype)
         h = h + m
 

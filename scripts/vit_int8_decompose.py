@@ -99,21 +99,22 @@ tok = np.random.default_rng(1).normal(size=(B, T, pspec.dim)).astype(np.float32)
 
 
 def blocks_int8(h, act_dtype):
+    # mirrors apply_int8's placement: Pallas for the adjacent mlp pair only
     b = h.shape[0]
     h = h.astype(act_dtype)
-    dense = qvit._static_dense if act_dtype == jnp.float32 else qvit._static_dense_fast
+    mlp = qvit._static_dense if act_dtype == jnp.float32 else qvit._static_dense_fast
     for i in range(pspec.depth):
         blk = qmodel["blocks"][str(i)]
         heads = blk["qkv"]["w_q"].shape[1] // (3 * hd)
         z = qvit._layer_norm(h, blk["ln1"])
-        qkv = dense(z, blk["qkv"]).reshape(b, -1, 3, heads, hd)
+        qkv = qvit._static_dense(z, blk["qkv"]).reshape(b, -1, 3, heads, hd)
         qh, kh, vh = (qkv[:, :, j].transpose(0, 2, 1, 3) for j in range(3))
         out = qvit._int8_attention(qh, kh, vh, hd, act_dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, heads * hd)
-        h = h + dense(out, blk["proj"])
+        h = h + qvit._static_dense(out, blk["proj"])
         z = qvit._layer_norm(h, blk["ln2"])
-        z = dense(z, blk["mlp1"], act="gelu")
-        h = h + dense(z, blk["mlp2"])
+        z = mlp(z, blk["mlp1"], act="gelu")
+        h = h + mlp(z, blk["mlp2"])
     return h
 
 

@@ -92,6 +92,39 @@ def test_int8_matmul_fused_quantize_input(act, out_dtype):
     np.testing.assert_allclose(got, ref, rtol=1e-2 if act else 1e-5, atol=atol)
 
 
+def test_fused_dense_gelu_fallback(monkeypatch):
+    """ops/fused_dense: off-TPU the op is exactly gelu(x @ w + b); the
+    IEVM_FUSED_DENSE override is honored (0 forces the XLA composition
+    even on TPU — 1 would force Pallas, untestable on the CPU backend)."""
+    import jax
+
+    from inference_efficient_vision_models_tpu.ops import fused_dense
+
+    monkeypatch.setenv("IEVM_FUSED_DENSE", "0")
+    assert not fused_dense.use_fused_dense()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 7, 40)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((40, 24)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(24), jnp.float32)
+    got = fused_dense.dense_gelu(x, w, b)
+    ref = jax.nn.gelu(x @ w + b, approximate=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-6)
+    monkeypatch.setenv("IEVM_FUSED_DENSE", "1")
+    assert fused_dense.use_fused_dense()
+
+
+def test_erf_poly_accuracy():
+    """The in-kernel A&S 7.1.26 erf stays within 1e-6 of lax.erf across the
+    GELU-relevant range (bf16 resolution is ~4e-3 relative)."""
+    from jax import lax
+
+    from inference_efficient_vision_models_tpu.ops.int8_matmul import _erf
+
+    x = jnp.asarray(np.linspace(-8, 8, 100001), jnp.float32)
+    d = np.abs(np.asarray(_erf(x)) - np.asarray(lax.erf(x)))
+    assert d.max() < 1e-6, d.max()
+
+
 @pytest.mark.parametrize("stride,padding,k", [(1, 1, 3), (2, 1, 3), (1, 0, 1), (2, 0, 1)])
 def test_conv_im2col_matches_qresnet_conv(stride, padding, k):
     """im2col int8 conv ≡ the lax-conv int8 path in qresnet."""
