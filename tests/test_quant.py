@@ -317,8 +317,12 @@ def _iter_wpaths(tree, path=()):
 def test_wo4_odd_out_falls_back_to_int8():
     from inference_efficient_vision_models_tpu.compress.quant import wo4
 
-    folded = {"a": {"w": np.ones((4, 3), np.float32)},  # odd out -> int8 leaf
-              "b": {"w": np.ones((4, 8), np.float32)}}
+    # reduction axis >= 32 so the automatic int8 policy (_keep_int8_auto:
+    # depthwise / tiny-reduction kernels stay int8) does not trigger —
+    # "a" falls back because its OUT dim is odd (can't pack two nibbles),
+    # "b" genuinely packs int4.
+    folded = {"a": {"w": np.ones((64, 3), np.float32)},  # odd out -> int8 leaf
+              "b": {"w": np.ones((64, 8), np.float32)}}
     m = wo4.convert_weight_only_int4(folded)
     assert set(m["a"]["w"].keys()) == {"q", "s"}
     assert set(m["b"]["w"].keys()) == {"q4", "s"}
@@ -326,6 +330,10 @@ def test_wo4_odd_out_falls_back_to_int8():
     # int8 fallback scale is max|w|/127.5, so 1.0 -> 127/127.5 (half-step err)
     np.testing.assert_allclose(np.asarray(deq["a"]["w"]), folded["a"]["w"], atol=1 / 127)
     np.testing.assert_allclose(np.asarray(deq["b"]["w"]), folded["b"]["w"], atol=1e-6)
+    # the tiny-reduction policy leaf itself: reduction < 32 stays int8 even
+    # with an even OUT dim
+    tiny = wo4.convert_weight_only_int4({"c": {"w": np.ones((4, 8), np.float32)}})
+    assert set(tiny["c"]["w"].keys()) == {"q", "s"}
 
 
 @pytest.mark.parametrize("model_name", ["resnet18", "efficientnet_b0"])
