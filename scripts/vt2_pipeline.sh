@@ -3,7 +3,7 @@
 # reuses the `vt1` ViT-S teacher (trained by regen_pipelines.sh), then
 # KD into ViT-Tiny -> head+MLP structured pruning -> the quantization menu.
 # Completes the "all four families through the full pipeline" evidence with
-# a real on-chip run (the other three are r2 / ef2 / the mb pipelines).
+# a real on-chip run (the others are r2 / ef2 / mb2 — scripts/mb2_pipeline.sh).
 set -x
 cd "$(dirname "$0")/.."
 COMMON="num_folds=5 synthetic_size=600 batch_size=32 pretrained=False"
