@@ -118,7 +118,9 @@ def run_quantize(cfg, logger, data, split):
             "dynamic_int8": lambda: engine.dynamic_quantize(),
             "fp16": lambda: engine.cast_half(jnp.float16),
             "bf16": lambda: engine.cast_half(jnp.bfloat16),
-            "weight_only_int8": lambda: engine.weight_only_quantize(),
+            "weight_only_int8": lambda: engine.weight_only_quantize(
+                train_data=train_d
+            ),
             "weight_only_int4": lambda: engine.weight_only_quantize(
                 bits=4, train_data=train_d
             ),

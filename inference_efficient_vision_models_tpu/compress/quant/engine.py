@@ -224,34 +224,37 @@ class QuantizationEngine:
         below bf16 (MBConv nets): bf16 throughput at ~3.9× (int8) or ~7.4×
         (packed int4 + group scales) weight compression.
 
-        With cfg.qat_epochs > 0, ``train_data``, and bits=4, a W4-targeted
+        With cfg.qat_epochs > 0 and ``train_data``, a grid-targeted
         quantization-aware fine-tune runs before conversion (see
-        qat.w4_qat_finetune): MBConv nets lose double digits under 4-bit
-        round-to-nearest even with the int8-fallback policy, and the int4
-        grid is coarse enough that only training against it recovers them."""
+        qat.w4_qat_finetune, bits ∈ {4, 8}): MBConv nets lose double digits
+        under 4-bit round-to-nearest even with the int8-fallback policy (only
+        training against the int4 grid recovers them), and the same recipe
+        closes the ~1-pt W8A16 drop on MobileNetV2-class models."""
         import functools
 
+        folded = self.folded
+        qat_epochs = int(getattr(self.cfg, "qat_epochs", 0))
+        if qat_epochs > 0 and train_data is not None:
+            from .qat import w4_qat_finetune
+
+            self.logger.info("W%d QAT fine-tune: %d epoch(s)", bits, qat_epochs)
+            folded = w4_qat_finetune(
+                self.spec, self.q, folded, train_data,
+                epochs=qat_epochs,
+                lr=float(getattr(self.cfg, "qat_lr", 1e-5)),
+                batch_size=self.cfg.batch_size,
+                bits=bits,
+                logger=self.logger,
+                debug=self.cfg.DEBUG_MODE,
+            )
         if bits == 4:
             from . import wo4 as wo
 
-            folded = self.folded
-            qat_epochs = int(getattr(self.cfg, "qat_epochs", 0))
-            if qat_epochs > 0 and train_data is not None:
-                from .qat import w4_qat_finetune
-
-                self.logger.info("W4 QAT fine-tune: %d epoch(s)", qat_epochs)
-                folded = w4_qat_finetune(
-                    self.spec, self.q, folded, train_data,
-                    epochs=qat_epochs,
-                    lr=float(getattr(self.cfg, "qat_lr", 1e-5)),
-                    batch_size=self.cfg.batch_size,
-                    logger=self.logger,
-                    debug=self.cfg.DEBUG_MODE,
-                )
             model = device_materialize(wo.convert_weight_only_int4(folded))
         else:
             from . import wo8 as wo
-            model = device_materialize(wo.convert_weight_only(self.folded))
+
+            model = device_materialize(wo.convert_weight_only(folded))
         spec, qmod = self.spec, self.q
 
         def fwd(m, x_u8):

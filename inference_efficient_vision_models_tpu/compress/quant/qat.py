@@ -154,23 +154,33 @@ def fq_weights_w4(folded, keep_int8=None):
 def w4_qat_finetune(
     spec, qmod, folded, train_data,
     *, epochs: int = 1, lr: float = 1e-5, batch_size: int = 32,
-    keep_int8=None, logger=None, debug: bool = False,
+    keep_int8=None, bits: int = 4, logger=None, debug: bool = False,
 ):
-    """Fine-tune the folded model against the simulated W4A16 forward.
+    """Fine-tune the folded model against the simulated weight-only forward.
 
-    No activation fake-quant — W4A16 serves full-precision (bf16)
-    activations; only the weights see the int4 group grid they will be
-    rounded onto (``fq_weights_w4``). Returns a new folded pytree ready for
-    ``wo4.convert_weight_only_int4`` with the same ``keep_int8`` policy."""
+    No activation fake-quant — W4A16/W8A16 serve full-precision (bf16)
+    activations; only the weights see the grid they will be rounded onto:
+    ``bits=4`` → the int4 group grid + int8-fallback policy
+    (``fq_weights_w4``, ready for ``wo4.convert_weight_only_int4`` with the
+    same ``keep_int8`` policy); ``bits=8`` → the per-channel int8 grid
+    (``fq_weights``, ready for ``wo8.convert_weight_only`` — same last-axis
+    channel convention). Returns a new folded pytree."""
     from ...data.pipeline import Batches, normalize_images
     from ...train.losses import cross_entropy
     from ...train.optim import adamw_init, adamw_update
+
+    if bits == 4:
+        fq = lambda f: fq_weights_w4(f, keep_int8)  # noqa: E731
+    elif bits == 8:
+        fq = fq_weights
+    else:
+        raise ValueError(f"weight-only QAT supports bits 4 or 8, got {bits}")
 
     params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), folded)
     opt = adamw_init(params)
 
     def loss_fn(f, x, labels, mask):
-        logits = qmod.apply_folded(spec, fq_weights_w4(f, keep_int8), x)
+        logits = qmod.apply_folded(spec, fq(f), x)
         return cross_entropy(logits, labels, mask)
 
     @jax.jit
@@ -192,7 +202,7 @@ def w4_qat_finetune(
             )
         if logger is not None:
             logger.info(
-                "W4 QAT epoch %d/%d: loss %.4f", epoch + 1, epochs, float(loss)
+                "W%d QAT epoch %d/%d: loss %.4f", bits, epoch + 1, epochs, float(loss)
             )
     return jax.tree.map(lambda a: np.asarray(a, np.float32), jax.device_get(params))
 

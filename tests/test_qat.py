@@ -240,3 +240,33 @@ def test_engine_w4_qat_path():
     acc_ptq = float((np.asarray(fn_ptq(x)).argmax(1) == labels).mean())
     acc_qat = float((np.asarray(fn_qat(x)).argmax(1) == labels).mean())
     assert acc_qat >= acc_ptq - 1e-9, (acc_ptq, acc_qat)
+
+
+def test_engine_w8_qat_path():
+    """weight_only_quantize(bits=8) with qat_epochs runs QAT against the
+    per-channel int8 grid (fq_weights — the exact wo8 conversion grid); the
+    result is still a W8 artifact and at least as train-accurate as PTQ."""
+    from inference_efficient_vision_models_tpu.compress.quant import wo8
+
+    imgs, labels = _toy_data(48, seed=17)
+    spec, params, state = create_model("mobilenet_v2_050", num_classes=6)
+
+    cfg = _Cfg()
+    cfg.qat_epochs = 0
+    eng = QuantizationEngine(cfg, spec, params, state, logging.getLogger("q"))
+    m_ptq, fn_ptq = eng.weight_only_quantize()
+
+    cfg2 = _Cfg()
+    eng2 = QuantizationEngine(cfg2, spec, params, state, logging.getLogger("q"))
+    m_qat, fn_qat = eng2.weight_only_quantize(train_data=(imgs, labels))
+    assert wo8.is_weight_only(m_qat)
+    # QAT actually moved the stored int8 weights (it ran, not a no-op)
+    assert not np.array_equal(
+        np.asarray(jax.device_get(m_ptq["stem"]["w"]["q"])),
+        np.asarray(jax.device_get(m_qat["stem"]["w"]["q"])),
+    )
+
+    x = jnp.asarray(imgs)
+    acc_ptq = float((np.asarray(fn_ptq(x)).argmax(1) == labels).mean())
+    acc_qat = float((np.asarray(fn_qat(x)).argmax(1) == labels).mean())
+    assert acc_qat >= acc_ptq - 1e-9, (acc_ptq, acc_qat)
