@@ -163,6 +163,10 @@ class KDConfig(BaseConfig):
         # (reference `knowledge_distillation/train.py:47-57`)
         self.alpha = 0.5
         self.temperature = 4.0
+        # similarity-preserving feature distillation weight (beyond the
+        # reference's logit-only KD; 0.0 = off = exact reference loss).
+        # See train/losses.py:sp_kd_loss (Tung & Mori, ICCV 2019).
+        self.sp_weight = 0.0
         self.batch_size = 32
         self.learning_rate = 1e-4
         self.epochs = 2

@@ -92,6 +92,24 @@ def apply_model(spec, params, state, x, *, train=False, compute_dtype=None, **kw
     )
 
 
+def features_and_logits(spec, params, state, x, *, train=False, compute_dtype=None):
+    """One forward returning (feats, logits, new_state).
+
+    Every family ends in ``logits = feats @ head.w + head.b`` on the pooled
+    penultimate feature (resnet.apply:207-209 and counterparts), so the head
+    is applied here on top of the ``return_features=True`` forward — one
+    trunk execution, both outputs. Used by the feature-distillation KD step."""
+    import jax.numpy as jnp
+
+    feats, new_state = apply_model(
+        spec, params, state, x, train=train, compute_dtype=compute_dtype,
+        return_features=True,
+    )
+    head = params["head"] if isinstance(spec, ViTSpec) else params["fc"]
+    logits = feats @ head["w"] + head["b"]
+    return feats, logits, new_state
+
+
 def create_model(
     model: SpecLike,
     num_classes: int = 6,

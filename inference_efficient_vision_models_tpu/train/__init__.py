@@ -1,4 +1,4 @@
-from .losses import cross_entropy, kd_loss, masked_accuracy
+from .losses import cross_entropy, kd_loss, masked_accuracy, sp_kd_loss
 from .optim import adamw_init, adamw_update, make_lr_schedule
 from .steps import make_train_step, make_kd_train_step, make_eval_step
 from .loop import train_classifier, evaluate
@@ -7,6 +7,7 @@ __all__ = [
     "cross_entropy",
     "kd_loss",
     "masked_accuracy",
+    "sp_kd_loss",
     "adamw_init",
     "make_lr_schedule",
     "adamw_update",

@@ -172,6 +172,7 @@ def train_classifier(
             learning_rate=lr,
             compute_dtype=cfg.compute_dtype,
             lr_schedule=schedule,
+            sp_weight=float(getattr(cfg, "sp_weight", 0.0)),
         )
         extra = (t_params, t_state)
     eval_step = steps_mod.make_eval_step(spec, compute_dtype=cfg.compute_dtype)

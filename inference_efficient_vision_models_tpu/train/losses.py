@@ -55,6 +55,37 @@ def kd_loss(student_logits, teacher_logits, labels, *, alpha, temperature, mask=
     return total, ce, kd
 
 
+def sp_kd_loss(student_feats, teacher_feats, mask=None):
+    """Similarity-preserving feature distillation (Tung & Mori, ICCV 2019).
+
+    Beyond the reference's logit-only KD: the student matches the *batch
+    similarity structure* of the teacher's penultimate features — the
+    row-L2-normalized Gram matrices G = f·fᵀ agree in Frobenius norm,
+    ``loss = ||G̃_s − G̃_t||²_F / B²``. Relational, so it is parameter- and
+    dimension-free: heterogeneous pairs (ResNet50 → MobileNetV2, ViT-S →
+    ViT-Tiny) need no learned projection head, which keeps the KD stage's
+    artifact contract unchanged (student params only).
+
+    Masked (padded) rows are zeroed in both Grams and the divisor uses the
+    valid count, so static-shape padded batches contribute nothing.
+    """
+    f_s = student_feats.astype(jnp.float32)
+    f_t = jax.lax.stop_gradient(teacher_feats.astype(jnp.float32))
+    if mask is not None:
+        m = mask.astype(jnp.float32)[:, None]
+        f_s = f_s * m
+        f_t = f_t * m
+        b = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+    else:
+        b = jnp.float32(f_s.shape[0])
+
+    def norm_gram(f):
+        g = f @ f.T
+        return g / jnp.maximum(jnp.linalg.norm(g, axis=1, keepdims=True), 1e-12)
+
+    return jnp.sum((norm_gram(f_s) - norm_gram(f_t)) ** 2) / (b * b)
+
+
 def masked_accuracy(logits, labels, mask=None):
     correct = (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32)
     if mask is None:

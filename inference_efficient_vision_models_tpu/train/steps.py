@@ -17,8 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from ..data.pipeline import normalize_images
-from ..models.registry import apply_model
-from .losses import cross_entropy, kd_loss, masked_accuracy
+from ..models.registry import apply_model, features_and_logits
+from .losses import cross_entropy, kd_loss, masked_accuracy, sp_kd_loss
 from .optim import adamw_update
 
 
@@ -73,36 +73,60 @@ def make_kd_train_step(
     mesh=None,
     weight_decay=0.01,
     lr_schedule=None,
+    sp_weight=0.0,
 ):
     """KD step: student trains against frozen teacher logits + hard labels.
 
     Loss = (1-α)·CE + α·KL·T² (reference `knowledge_distillation/train.py:47-57`);
     the teacher forward runs inside the same XLA program (no_grad by
     construction — it is not differentiated).
+
+    ``sp_weight > 0`` adds similarity-preserving feature distillation
+    (losses.sp_kd_loss) on the penultimate features — beyond-reference,
+    off by default so the stock step reproduces the reference loss exactly.
     """
     cdt = _dtype(compute_dtype)
+    use_sp = float(sp_weight) > 0.0
 
     def step(params, state, opt, teacher_params, teacher_state, batch):
         lr = lr_schedule(opt.step) if lr_schedule is not None else learning_rate
         imgs_u8, labels, mask = batch
         x = normalize_images(imgs_u8, cdt)
-        teacher_logits, _ = apply_model(
-            teacher_spec, teacher_params, teacher_state, x, train=False,
-            compute_dtype=cdt,
-        )
+        if use_sp:
+            teacher_feats, teacher_logits, _ = features_and_logits(
+                teacher_spec, teacher_params, teacher_state, x, train=False,
+                compute_dtype=cdt,
+            )
+            teacher_feats = jax.lax.stop_gradient(teacher_feats)
+        else:
+            teacher_logits, _ = apply_model(
+                teacher_spec, teacher_params, teacher_state, x, train=False,
+                compute_dtype=cdt,
+            )
         teacher_logits = jax.lax.stop_gradient(teacher_logits)
 
         def loss_fn(p):
-            logits, new_state = apply_model(
-                student_spec, p, state, x, train=True, compute_dtype=cdt
-            )
+            if use_sp:
+                feats, logits, new_state = features_and_logits(
+                    student_spec, p, state, x, train=True, compute_dtype=cdt
+                )
+            else:
+                logits, new_state = apply_model(
+                    student_spec, p, state, x, train=True, compute_dtype=cdt
+                )
             total, ce, kd = kd_loss(
                 logits, teacher_logits, labels,
                 alpha=alpha, temperature=temperature, mask=mask,
             )
-            return total, (new_state, logits, ce, kd)
+            sp = (
+                sp_kd_loss(feats, teacher_feats, mask)
+                if use_sp
+                else jnp.float32(0.0)
+            )
+            total = total + sp_weight * sp
+            return total, (new_state, logits, ce, kd, sp)
 
-        (loss, (new_state, logits, ce, kd)), grads = jax.value_and_grad(
+        (loss, (new_state, logits, ce, kd, sp)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
         params2, opt2 = adamw_update(
@@ -112,6 +136,7 @@ def make_kd_train_step(
             "loss": loss,
             "ce": ce,
             "kd": kd,
+            "sp": sp,
             "acc": masked_accuracy(logits, labels, mask),
             "n": jnp.sum(mask),
         }

@@ -231,3 +231,104 @@ def test_kd_step_cross_family():
     assert np.isfinite(float(m["loss"])) and np.isfinite(float(m["kd"]))
     after = np.asarray(jax.device_get(p2["stem"]["w"]))
     assert not np.allclose(before, after)
+
+
+def test_sp_kd_loss_math():
+    """sp_kd_loss == hand-computed normalized-Gram Frobenius distance; zero
+    for identical features; dimension-free (different feat dims compare)."""
+    from inference_efficient_vision_models_tpu.train import sp_kd_loss
+
+    rng = np.random.default_rng(3)
+    f_s = rng.standard_normal((4, 8)).astype(np.float32)
+    f_t = rng.standard_normal((4, 16)).astype(np.float32)
+
+    def ref(fs, ft):
+        def ng(f):
+            g = f @ f.T
+            return g / np.maximum(np.linalg.norm(g, axis=1, keepdims=True), 1e-12)
+
+        return float(((ng(fs) - ng(ft)) ** 2).sum()) / fs.shape[0] ** 2
+
+    got = float(sp_kd_loss(jnp.asarray(f_s), jnp.asarray(f_t)))
+    np.testing.assert_allclose(got, ref(f_s, f_t), rtol=1e-5)
+    assert float(sp_kd_loss(jnp.asarray(f_s), jnp.asarray(f_s))) < 1e-10
+
+
+def test_sp_kd_loss_mask_ignores_padding():
+    """Padded (masked-out) rows contribute nothing: loss over a padded batch
+    with the mask equals the loss over the unpadded batch."""
+    from inference_efficient_vision_models_tpu.train import sp_kd_loss
+
+    rng = np.random.default_rng(5)
+    f_s = rng.standard_normal((3, 8)).astype(np.float32)
+    f_t = rng.standard_normal((3, 8)).astype(np.float32)
+    pad = np.zeros((2, 8), np.float32)
+    f_s_p = np.concatenate([f_s, pad + 7.0])  # garbage in padded rows
+    f_t_p = np.concatenate([f_t, pad - 3.0])
+    mask = np.array([1, 1, 1, 0, 0], np.float32)
+
+    want = float(sp_kd_loss(jnp.asarray(f_s), jnp.asarray(f_t)))
+    got = float(sp_kd_loss(jnp.asarray(f_s_p), jnp.asarray(f_t_p), jnp.asarray(mask)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "name", ["resnet18", "mobilenet_v2_050", "efficientnet_b0", "vit_tiny_patch16_224"]
+)
+def test_features_and_logits_matches_apply(name):
+    """The manual head application in features_and_logits reproduces the
+    stock forward's logits for every family."""
+    from inference_efficient_vision_models_tpu.models import create_model
+    from inference_efficient_vision_models_tpu.models.registry import (
+        apply_model,
+        features_and_logits,
+    )
+
+    size = 224 if name.startswith("vit") else 64
+    spec, params, state = create_model(name, num_classes=6)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, size, size, 3)), jnp.float32
+    )
+    want, _ = apply_model(spec, params, state, x, train=False)
+    feats, got, _ = features_and_logits(spec, params, state, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    assert feats.shape[0] == 2 and feats.ndim == 2
+
+
+def test_kd_step_sp_weight():
+    """sp_weight>0: the sp metric is live and the extra loss term changes the
+    update; sp_weight=0 reproduces the stock KD step exactly."""
+    from inference_efficient_vision_models_tpu.models import create_model
+    from inference_efficient_vision_models_tpu.train.optim import adamw_init
+    from inference_efficient_vision_models_tpu.train.steps import make_kd_train_step
+
+    t_spec, t_params, t_state = create_model("resnet18", num_classes=6)
+    s_spec, s_params, s_state = create_model("mobilenet_v2_050", num_classes=6)
+    rng = np.random.default_rng(1)
+    batch = (
+        rng.integers(0, 255, (4, 32, 32, 3)).astype(np.uint8),
+        rng.integers(0, 6, 4).astype(np.int32),
+        np.ones(4, np.float32),
+    )
+    kw = dict(alpha=0.5, temperature=4.0, learning_rate=1e-3, compute_dtype="float32")
+
+    def run(sp_weight):
+        step = make_kd_train_step(s_spec, t_spec, sp_weight=sp_weight, **kw)
+        # fresh copies: the step donates params/state/opt buffers
+        p = jax.tree.map(jnp.array, s_params)
+        st = jax.tree.map(jnp.array, s_state)
+        p2, _, _, m = step(p, st, adamw_init(p), t_params, t_state, batch)
+        return jax.device_get(p2), jax.device_get(m)
+
+    p_plain, m_plain = run(0.0)
+    p_sp, m_sp = run(10.0)
+    assert float(m_plain["sp"]) == 0.0
+    assert float(m_sp["sp"]) > 0.0 and np.isfinite(float(m_sp["loss"]))
+    # the sp term actually steers the update
+    assert not np.allclose(p_plain["stem"]["w"], p_sp["stem"]["w"])
+    # and the plain path keeps the reference loss: loss == (1-α)CE + αKD
+    np.testing.assert_allclose(
+        float(m_plain["loss"]),
+        0.5 * float(m_plain["ce"]) + 0.5 * float(m_plain["kd"]),
+        rtol=1e-6,
+    )
