@@ -60,7 +60,7 @@ def run_train(cfg, logger, data, split):
                 cfg.student_model,
                 cfg.num_classes,
                 key=key_for(jax.random.PRNGKey(cfg.seed), "kd_fold", fold, "init"),
-                pretrained=True,
+                pretrained=cfg.pretrained,
                 logger=logger,
             )
         params, state, hist = train_classifier(

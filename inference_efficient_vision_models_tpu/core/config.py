@@ -163,6 +163,9 @@ class KDConfig(BaseConfig):
         # (reference `knowledge_distillation/train.py:47-57`)
         self.alpha = 0.5
         self.temperature = 4.0
+        # student init (reference `kd_config.py` builds the student with
+        # pretrained=True); False = random init (used by the synthetic runs).
+        self.pretrained = True
         # similarity-preserving feature distillation weight (beyond the
         # reference's logit-only KD; 0.0 = off = exact reference loss).
         # See train/losses.py:sp_kd_loss (Tung & Mori, ICCV 2019).
