@@ -184,6 +184,22 @@ def run_quantize(cfg, logger, data, split):
             except Exception as e:  # same isolation as the methods
                 logger.error("sensitivity sweep failed: %s", e)
                 logger.error(traceback.format_exc())
+        if getattr(cfg, "automix", False):
+            try:
+                import pandas as pd
+
+                float_taps, ladder = engine.auto_mixed(calib, eval_data=test_d)
+                ap = os.path.join(cfg.output_dir, f"automix_fold{fold}.csv")
+                pd.DataFrame(
+                    [{**r, "float_taps": ";".join(r["float_taps"])} for r in ladder]
+                ).to_csv(ap, index=False)
+                logger.info(
+                    "automix policy: %d float tap(s) %s → wrote %s",
+                    len(float_taps), float_taps, ap,
+                )
+            except Exception as e:  # same isolation as the methods
+                logger.error("automix search failed: %s", e)
+                logger.error(traceback.format_exc())
     summarize_folds(rows, cfg.output_dir, logger, name="quantization_summary")
     return rows
 

@@ -3,8 +3,9 @@ from .observers import (
     minmax_qparams_affine,
     minmax_qparams_symmetric_per_channel,
 )
+from .automix import auto_mixed_policy
 from .engine import QuantizationEngine, quant_module
-from .sensitivity import tap_sensitivity
+from .sensitivity import make_switch_forward, tap_sensitivity
 from . import qeffnet, qmobilenet, qresnet, qvit, wo4, wo8
 
 __all__ = [
@@ -14,6 +15,8 @@ __all__ = [
     "QuantizationEngine",
     "quant_module",
     "tap_sensitivity",
+    "make_switch_forward",
+    "auto_mixed_policy",
     "qresnet",
     "qmobilenet",
     "qeffnet",

@@ -322,6 +322,33 @@ class QuantizationEngine:
             batch_size=self.cfg.batch_size, logger=self.logger,
         )
 
+    def auto_mixed(self, calib_data, eval_data=None):
+        """Automatic mixed-precision policy (quant/automix.py): rank taps by
+        isolated sensitivity, then greedily exempt the top-k from activation
+        quantization until the simulated static-int8 forward's top-1-vs-float
+        flip rate meets cfg.automix_budget. Returns (float_taps, ladder) —
+        the measured basis for choosing between all-int8 / family-mixed /
+        W8A16 executors on a new architecture."""
+        from .automix import auto_mixed_policy
+
+        loader = Batches(calib_data[0], calib_data[1], self.cfg.batch_size)
+        observers = self.q.calibrate(
+            self.spec,
+            self.folded,
+            loader,
+            max_images=self.cfg.calibration_images,
+            observer=getattr(self.cfg, "observer", "minmax"),
+            percentile=getattr(self.cfg, "percentile", 99.99),
+        )
+        ev = eval_data if eval_data is not None else calib_data
+        return auto_mixed_policy(
+            self.spec, self.q, self.folded, observers, ev,
+            flip_budget=float(getattr(self.cfg, "automix_budget", 0.01)),
+            max_float_taps=int(getattr(self.cfg, "automix_max_taps", 8)),
+            batch_size=self.cfg.batch_size,
+            logger=self.logger,
+        )
+
     def evaluate_accuracy(self, apply_fn, test_d, host_preprocess=None) -> float:
         return evaluate_accuracy_fn(self.cfg, apply_fn, test_d, host_preprocess)
 

@@ -36,7 +36,40 @@ import numpy as np
 from .observers import ObserverState, minmax_qparams_affine
 from .qat import fake_quant_act, fq_weights
 
-__all__ = ["tap_sensitivity"]
+__all__ = ["tap_sensitivity", "make_switch_forward"]
+
+
+def make_switch_forward(spec, qmod, folded, observers, *, skip_taps=("input",)):
+    """ONE jitted fake-quant forward with per-tap on/off switches.
+
+    Returns ``(fwd, names)`` where ``fwd(params, switches, fq_w, x_u8)``
+    runs the folded float forward with tap ``n`` fake-quantized to its
+    calibrated range iff ``switches[n]`` is 1.0, and every weight on its
+    per-channel int8 grid iff ``fq_w`` is 1.0. The switches are traced
+    scalars, so any on/off pattern reuses the same compiled executable —
+    the shared engine under both the per-tap sensitivity sweep and the
+    greedy mixed-precision search (automix.py)."""
+    from ...data.pipeline import normalize_images
+
+    names = [n for n in observers if n not in skip_taps]
+    fq_params = {
+        n: minmax_qparams_affine(observers[n].min, observers[n].max) for n in names
+    }
+
+    def _fwd(p, switches, fq_w, x_u8):
+        def tap_fn(name, t):
+            if name not in fq_params:
+                return t
+            s, zp = fq_params[name]
+            on = switches[name]
+            return on * fake_quant_act(t, s, zp) + (1.0 - on) * t
+
+        w = jax.tree.map(
+            lambda a, b: fq_w * a + (1.0 - fq_w) * b, fq_weights(p), p
+        )
+        return qmod.apply_folded(spec, w, normalize_images(x_u8), tap_fn=tap_fn)
+
+    return jax.jit(_fwd), names
 
 
 def tap_sensitivity(
@@ -62,13 +95,6 @@ def tap_sensitivity(
     ``{"tap", "logit_rmse", "top1_flips"}`` plus the ``__weights__`` /
     ``__all__`` aggregates (appended last, unsorted).
     """
-    from ...data.pipeline import normalize_images
-
-    names = [n for n in observers if n not in skip_taps]
-    fq_params = {
-        n: minmax_qparams_affine(observers[n].min, observers[n].max) for n in names
-    }
-
     imgs = np.asarray(eval_data[0][:max_images])
     n = (len(imgs) // batch_size) * batch_size
     if n == 0:
@@ -76,22 +102,9 @@ def tap_sensitivity(
     imgs = imgs[:n]
 
     params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), folded)
-
-    def _fwd(p, switches, fq_w, x_u8):
-        # switches: {tap: 0/1 fp32 scalar}; fq_w: 0/1 — weight-grid toggle
-        def tap_fn(name, t):
-            if name in skip_taps or name not in fq_params:
-                return t
-            s, zp = fq_params[name]
-            on = switches[name]
-            return on * fake_quant_act(t, s, zp) + (1.0 - on) * t
-
-        w = jax.tree.map(
-            lambda a, b: fq_w * a + (1.0 - fq_w) * b, fq_weights(p), p
-        )
-        return qmod.apply_folded(spec, w, normalize_images(x_u8), tap_fn=tap_fn)
-
-    fwd = jax.jit(_fwd)
+    fwd, names = make_switch_forward(
+        spec, qmod, folded, observers, skip_taps=skip_taps
+    )
 
     def run(switch_on: Optional[str], fq_w: float, all_on: bool = False):
         sw = {

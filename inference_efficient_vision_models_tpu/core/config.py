@@ -263,6 +263,13 @@ class QuantConfig(BaseConfig):
         # sensitivity): fake-quant one tap at a time, rank by isolated logit
         # distortion; writes sensitivity_fold{k}.csv next to the summary.
         self.sensitivity = False
+        # Automatic mixed-precision policy search (compress/quant/automix):
+        # greedily exempt the most sensitive taps from quantization until the
+        # simulated int8 forward flips <= automix_budget of top-1s vs float;
+        # writes automix_fold{k}.csv (the accuracy ladder + chosen tap set).
+        self.automix = False
+        self.automix_budget = 0.01
+        self.automix_max_taps = 8
         self.fold_id = 0
         self.teacher_exp_path: Optional[str] = None
         self.student_exp_path: Optional[str] = None

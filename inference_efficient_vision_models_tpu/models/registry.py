@@ -99,8 +99,6 @@ def features_and_logits(spec, params, state, x, *, train=False, compute_dtype=No
     penultimate feature (resnet.apply:207-209 and counterparts), so the head
     is applied here on top of the ``return_features=True`` forward — one
     trunk execution, both outputs. Used by the feature-distillation KD step."""
-    import jax.numpy as jnp
-
     feats, new_state = apply_model(
         spec, params, state, x, train=train, compute_dtype=compute_dtype,
         return_features=True,
