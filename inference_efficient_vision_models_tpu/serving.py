@@ -210,25 +210,40 @@ class Predictor:
         batch_size: int = 256,
         prefetch: int = 2,
         mesh=None,
+        bucket_sizes: Optional[Tuple[int, ...]] = None,
     ):
         """``mesh``: run data-parallel over a ``jax.sharding.Mesh`` — each
         batch is split over the mesh's data axis (batch_size must divide by
         its size; the tail batch is padded to full size anyway). The model
         must be placed for the same mesh (``from_artifact(..., mesh=…)``
-        or ``parallel.replicate``)."""
+        or ``parallel.replicate``).
+
+        ``bucket_sizes``: optional ascending shape buckets for SHORT work —
+        a request (or tail chunk) of n < batch_size images is padded only to
+        the smallest bucket ≥ n instead of the full batch, so a 1-image
+        request runs the bs-1 compiled program (~27× less device work at
+        bs 256), the production tail-latency fix for static-shape XLA
+        serving. Each distinct bucket is one extra compile, cached by XLA
+        after the first hit (or pre-paid via :meth:`warmup`)."""
         self.apply_fn = apply_fn
         self.host_preprocess = host_preprocess
         self.batch_size = batch_size
         self.prefetch = max(prefetch, 1)
         self.mesh = mesh
+        self.bucket_sizes = tuple(sorted(set(bucket_sizes or ())))
+        if any(b < 1 or b > batch_size for b in self.bucket_sizes):
+            raise ValueError(
+                f"bucket_sizes {self.bucket_sizes} must lie in [1, batch_size={batch_size}]"
+            )
         if mesh is not None:
             from .parallel.mesh import DATA_AXIS
 
             n_dp = mesh.shape[DATA_AXIS]
-            if batch_size % n_dp:
-                raise ValueError(
-                    f"batch_size {batch_size} not divisible by data-axis size {n_dp}"
-                )
+            for b in (batch_size, *self.bucket_sizes):
+                if b % n_dp:
+                    raise ValueError(
+                        f"batch/bucket size {b} not divisible by data-axis size {n_dp}"
+                    )
 
     @classmethod
     def from_artifact(
@@ -254,15 +269,32 @@ class Predictor:
         return jnp.asarray(chunk)
 
     # -- core pipeline ------------------------------------------------------
+    def _target_size(self, n: int) -> int:
+        """Smallest shape bucket covering n, else the full batch."""
+        for b in self.bucket_sizes:
+            if n <= b:
+                return b
+        return self.batch_size
+
     def _batches(self, images: np.ndarray):
         bs = self.batch_size
         n = len(images)
         for start in range(0, n, bs):
             chunk = images[start : start + bs]
-            pad = bs - len(chunk)
+            tgt = self._target_size(len(chunk))
+            pad = tgt - len(chunk)
             if pad:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-            yield chunk, bs - pad
+            yield chunk, tgt - pad
+
+    def warmup(self, image_shape: Tuple[int, int, int] = (224, 224, 3)) -> None:
+        """Pre-compile every shape the predictor can dispatch (full batch +
+        each bucket) so no production request pays a first-call compile."""
+        for b in (*self.bucket_sizes, self.batch_size):
+            x = np.zeros((b, *image_shape), np.uint8)
+            if self.host_preprocess is not None:
+                x = self.host_preprocess(x)
+            np.asarray(self.apply_fn(self._stage(x)))
 
     def predict_logits(self, images: np.ndarray) -> np.ndarray:
         """images (N, H, W, 3) uint8 → logits (N, num_classes) fp32."""

@@ -88,6 +88,57 @@ def test_predictor_mixed_falls_back_to_int8_artifact(tmp_path):
     np.testing.assert_allclose(logits, direct, rtol=1e-5, atol=1e-5)
 
 
+def test_predictor_bucketed_small_requests(tmp_path):
+    """With bucket_sizes, a short request pads to the smallest covering
+    bucket — not the full batch — and the logits still match direct apply."""
+    fold, imgs, q_fn = _save_artifacts(tmp_path)
+    base = Predictor.from_artifact(fold, "static_int8", batch_size=8)
+    seen = []
+
+    def recording(x):
+        seen.append(x.shape[0])
+        return base.apply_fn(x)
+
+    pred = Predictor(
+        recording,
+        host_preprocess=base.host_preprocess,
+        batch_size=8,
+        bucket_sizes=(1, 4),
+    )
+    test = np.random.default_rng(3).integers(0, 255, (3, 64, 64, 3)).astype(np.uint8)
+    logits = pred.predict_logits(test)
+    assert seen == [4]  # 3 images → bucket 4, not batch 8
+    from inference_efficient_vision_models_tpu.ops.space_to_depth import (
+        space_to_depth_u8,
+    )
+
+    direct = np.asarray(q_fn(jnp.asarray(space_to_depth_u8(test))))
+    np.testing.assert_allclose(logits, direct, rtol=1e-5, atol=1e-5)
+
+    seen.clear()
+    one = pred.predict_logits(test[:1])  # 1 image → the bs-1 program
+    assert seen == [1] and one.shape == (1, 6)
+    np.testing.assert_allclose(one, direct[:1], rtol=1e-5, atol=1e-5)
+
+    seen.clear()
+    full = pred.predict_logits(
+        np.random.default_rng(4).integers(0, 255, (13, 64, 64, 3)).astype(np.uint8)
+    )
+    assert seen == [8, 8] and full.shape == (13, 6)  # 13 → full batch + bucket... tail 5 > 4 → full batch
+
+
+def test_predictor_bucket_validation_and_warmup(tmp_path):
+    import pytest
+
+    fold, _, _ = _save_artifacts(tmp_path)
+    with pytest.raises(ValueError):
+        Predictor(lambda x: x, batch_size=8, bucket_sizes=(16,))
+    pred = Predictor.from_artifact(
+        fold, "static_int8", batch_size=8, bucket_sizes=(1, 4)
+    )
+    pred.warmup(image_shape=(64, 64, 3))  # compiles bs 1/4/8 without error
+
+
 def test_predictor_stream(tmp_path):
     fold, imgs, _ = _save_artifacts(tmp_path)
     p = Predictor.from_artifact(fold, "static_int8", batch_size=4)

@@ -85,6 +85,8 @@ def test_predictor_mesh_rejects_indivisible_batch():
     mesh = make_mesh(model_parallel=1)  # data axis = 8
     with pytest.raises(ValueError):
         Predictor(lambda x: x, batch_size=12, mesh=mesh)
+    with pytest.raises(ValueError):  # buckets must shard evenly too
+        Predictor(lambda x: x, batch_size=16, bucket_sizes=(4,), mesh=mesh)
 
 
 def test_dp_sharded_vit_bf16_executor_matches_single_device():
