@@ -18,7 +18,9 @@ from __future__ import annotations
 import os
 import queue
 import threading
-from typing import Callable, Iterable, Optional, Tuple
+import time
+from concurrent.futures import Future
+from typing import Callable, Iterable, List, Optional, Tuple
 
 import numpy as np
 
@@ -335,3 +337,168 @@ class Predictor:
         for chunk in batches:
             x = self.host_preprocess(chunk) if self.host_preprocess else chunk
             yield np.asarray(self.apply_fn(self._stage(x)))
+
+
+_CLOSE = object()  # MicroBatcher shutdown sentinel
+
+
+class MicroBatcher:
+    """Dynamic request batching in front of a :class:`Predictor`.
+
+    The production front-end for ONLINE serving: many concurrent clients each
+    send a few images; running each request alone wastes the chip (a bs-1
+    program uses a sliver of the MXU and pays a full dispatch), while static
+    batching adds queueing latency. A dispatcher thread coalesces everything
+    waiting — up to ``max_batch`` images or until the oldest request has
+    waited ``max_wait_ms`` — into ONE device call, routed through the
+    predictor's shape buckets, then scatters the logits back to per-request
+    futures. Same design as Triton/TF-Serving dynamic batching, expressed
+    over static-shape XLA programs.
+
+    The reference has no serving runtime at all (its closest analog is the
+    synchronous per-batch eval loop, ``/root/reference/quantization/main.py:279-290``);
+    this component exists because a TPU serving deployment needs one.
+
+    Thread-safe; ``submit`` never blocks on the device. Use as a context
+    manager or call :meth:`close` to drain and stop the dispatcher.
+    """
+
+    def __init__(
+        self,
+        predictor: Predictor,
+        *,
+        max_wait_ms: float = 2.0,
+        max_batch: Optional[int] = None,
+    ):
+        self.pred = predictor
+        self.max_batch = int(max_batch or predictor.batch_size)
+        if not (1 <= self.max_batch <= predictor.batch_size):
+            raise ValueError(
+                f"max_batch {self.max_batch} must lie in [1, predictor.batch_size="
+                f"{predictor.batch_size}]"
+            )
+        self.max_wait_s = max_wait_ms / 1e3
+        self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._carry = None  # request that would have overflowed the batch
+        self._lock = threading.Lock()
+        self.n_requests = 0
+        self.n_batches = 0
+        self.n_images = 0  # valid images dispatched
+        self.n_slots = 0  # padded program slots dispatched
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- client API ----------------------------------------------------------
+    def submit(self, images: np.ndarray) -> "Future[np.ndarray]":
+        """images (n, H, W, 3) uint8, n ≤ max_batch → Future of logits (n, K).
+
+        Larger workloads are batch jobs, not online requests — send those to
+        :meth:`Predictor.predict_logits`, which already chunks and pipelines.
+        """
+        images = np.asarray(images)
+        if images.ndim != 4:
+            raise ValueError(f"expected (n, H, W, C) images, got {images.shape}")
+        if len(images) > self.max_batch:
+            raise ValueError(
+                f"request of {len(images)} images exceeds max_batch "
+                f"{self.max_batch}; use Predictor.predict_logits for batch jobs"
+            )
+        if len(images) == 0:
+            f: Future = Future()
+            f.set_result(np.empty((0, 0), np.float32))
+            return f
+        fut: Future = Future()
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self.n_requests += 1
+            self._q.put((images, fut, len(images)))
+        return fut
+
+    def infer(self, images: np.ndarray) -> np.ndarray:
+        """Blocking convenience wrapper: submit and wait for the logits."""
+        return self.submit(images).result()
+
+    def stats(self) -> dict:
+        """Coalescing counters (mean_batch = valid images per device call)."""
+        b = max(self.n_batches, 1)
+        return {
+            "requests": self.n_requests,
+            "batches": self.n_batches,
+            "images": self.n_images,
+            "mean_batch": self.n_images / b,
+            "mean_dispatch_slots": self.n_slots / b,
+        }
+
+    def close(self) -> None:
+        """Drain queued requests, dispatch them, and stop the dispatcher."""
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+        self._q.put(_CLOSE)
+        self._thread.join()
+        # A submit() racing close() can't happen (same lock), so anything
+        # still queued is only the re-posted sentinel.
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- dispatcher ----------------------------------------------------------
+    def _loop(self) -> None:
+        while True:
+            if self._carry is not None:
+                first, self._carry = self._carry, None
+            else:
+                first = self._q.get()
+                if first is _CLOSE:
+                    return
+            batch: List[Tuple[np.ndarray, Future, int]] = [first]
+            total = first[2]
+            deadline = time.monotonic() + self.max_wait_s
+            while total < self.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if item is _CLOSE:
+                    self._q.put(_CLOSE)  # re-post: exit after this dispatch
+                    break
+                if total + item[2] > self.max_batch:
+                    self._carry = item  # overflow → leads the next batch
+                    break
+                batch.append(item)
+                total += item[2]
+            self._dispatch(batch, total)
+
+    def _dispatch(self, batch, total: int) -> None:
+        live = [fut.set_running_or_notify_cancel() for _, fut, _ in batch]
+        try:
+            imgs = np.concatenate([im for im, _, _ in batch], axis=0)
+            tgt = self.pred._target_size(total)
+            pad = tgt - total
+            if pad:
+                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
+            if self.pred.host_preprocess is not None:
+                imgs = self.pred.host_preprocess(imgs)
+            logits = np.asarray(self.pred.apply_fn(self.pred._stage(imgs)))[:total]
+        except Exception as e:  # scatter the failure to every caller
+            for (_, fut, _), ok in zip(batch, live):
+                if ok:
+                    fut.set_exception(e)
+            return
+        off = 0
+        for (_, fut, n), ok in zip(batch, live):
+            if ok:
+                fut.set_result(logits[off : off + n])
+            off += n
+        self.n_batches += 1
+        self.n_images += total
+        self.n_slots += tgt
