@@ -154,7 +154,7 @@ def main(argv=None) -> int:
         sys.stdout.write(text)
     print(
         f"# {len(images)} images · {method} @ {fold_dir} · "
-        f"{len(images) / max(dt, 1e-9):.0f} img/s (incl. first-call compile)",
+        f"{len(images) / max(dt, 1e-9):.1f} img/s (incl. first-call compile)",
         file=sys.stderr,
     )
     return 0
