@@ -195,7 +195,9 @@ class PruningConfig(BaseConfig):
         # Pruning hyperparameters (reference `p_config.py:30-34`)
         self.pruning_ratio = 0.05
         self.pruning_type = "structured"
-        self.pruning_method = "l2"  # 'l1' | 'l2' | 'random' | 'taylor' | 'group_norm'
+        # 'l1'|'l2'|'random'|'taylor'|'group_norm' (reference menu)
+        # + 'bn_act'|'apoz' (activation-based, CNN families; importance.py)
+        self.pruning_method = "l2"
         self.global_pruning = False
         # On TPU `round_to` is load-bearing: pruned channel counts should stay
         # multiples of the VPU lane/sublane granularity for good XLA tiling.

@@ -70,7 +70,7 @@ def test_zeroed_channel_prune_is_exact(name):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("method", ["l1", "l2", "random", "group_norm"])
+@pytest.mark.parametrize("method", ["l1", "l2", "random", "group_norm", "bn_act", "apoz"])
 def test_prune_methods_shrink_and_run(method):
     spec, params, state = create_model("resnet18", num_classes=6)
     n0 = resnet.param_count(params)
@@ -97,6 +97,55 @@ def test_taylor_importance_runs():
         spec, params, state, ratio=0.1, method="taylor", grads=grads
     )
     assert resnet.param_count(p2) < resnet.param_count(params)
+
+
+def test_gauss_relu_stats_match_monte_carlo():
+    from inference_efficient_vision_models_tpu.compress.prune.importance import (
+        _gauss_relu_stats,
+    )
+
+    rng = np.random.default_rng(3)
+    scale = np.array([0.5, 1.0, 2.0, 0.1])
+    bias = np.array([-1.0, 0.0, 1.5, -0.3])
+    e_relu, p_nz = _gauss_relu_stats(scale, bias)
+    samples = rng.standard_normal((200_000, 4)) * np.abs(scale) + bias
+    relu = np.maximum(samples, 0.0)
+    np.testing.assert_allclose(e_relu, relu.mean(axis=0), atol=5e-3)
+    np.testing.assert_allclose(p_nz, (samples > 0).mean(axis=0), atol=5e-3)
+
+
+@pytest.mark.parametrize("method", ["bn_act", "apoz"])
+def test_activation_importance_kills_dead_channels(method):
+    # Channels whose BN affine puts them ~always below zero (dead post-ReLU)
+    # must be the ones selected for removal, regardless of weight magnitude.
+    spec, params, state = create_model("resnet18", num_classes=6)
+    params = jax.device_get(params)
+
+    group = next(g for g in group_slices(spec) if g["key"][0] == "inner")
+    width = group["width"]
+    dead = np.arange(width // 4)
+    for bn_path in group["bns"]:
+        bn = get_path(params, bn_path)
+        scale = np.full(width, 1.0, np.float32)
+        bias = np.full(width, 2.0, np.float32)  # healthy: almost always on
+        bias[dead] = -6.0  # dead: P(>0) ≈ Φ(-6) ≈ 0
+        bn["scale"], bn["bias"] = scale, bias
+        # give dead channels LARGE weights so magnitude criteria would keep them
+    for path, axis in group["producers"]:
+        arr = np.asarray(get_path(params, path)).copy()
+        sl = [slice(None)] * arr.ndim
+        sl[axis] = dead
+        arr[tuple(sl)] *= 50.0
+        set_path(params, path, arr)
+
+    keep = select_channels(spec, params, ratio=0.25, method=method)
+    kept = keep[tuple(group["key"])]
+    assert not np.intersect1d(kept, dead).size, (
+        f"{method} kept dead channels {np.intersect1d(kept, dead)}"
+    )
+    # sanity: l2 on the same params WOULD keep the boosted dead channels
+    keep_l2 = select_channels(spec, params, ratio=0.25, method="l2")
+    assert np.intersect1d(keep_l2[tuple(group["key"])], dead).size
 
 
 def test_round_to_alignment():
