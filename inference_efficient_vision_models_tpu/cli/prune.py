@@ -40,12 +40,16 @@ def run_prune(cfg, logger, data, split):
         engine = StructuredPruningEngine(cfg, spec, params, state, logger)
         rows.append(_metrics_row(fold, "baseline", engine.evaluate_metrics(test_d, "baseline")))
 
-        grads = None
-        if cfg.pruning_method == "taylor":
-            loader = Batches(train_d[0], train_d[1], cfg.batch_size)
-            batch = next(iter(loader))
-            grads = taylor_grads(spec, params, state, batch)
-        engine.prune_model(grads=grads)
+        def _taylor_grads_fn(spec_, params_, state_):
+            batch = next(iter(Batches(train_d[0], train_d[1], cfg.batch_size)))
+            return taylor_grads(spec_, params_, state_, batch)
+
+        grads_fn = _taylor_grads_fn if cfg.pruning_method == "taylor" else None
+        if cfg.iterative_steps > 1:
+            engine.prune_iterative(train_d, val_d, cfg.fold_dir(fold), grads_fn=grads_fn)
+        else:
+            engine.prune_model(grads=grads_fn(spec, params, state) if grads_fn else None)
+            engine.recalibrate(train_d)
         rows.append(_metrics_row(fold, "pruned", engine.evaluate_metrics(test_d, "pruned")))
 
         if cfg.finetune_epochs > 0:

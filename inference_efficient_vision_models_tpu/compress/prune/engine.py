@@ -259,12 +259,12 @@ class StructuredPruningEngine:
         self.state = state
         self.logger = logger
 
-    def prune_model(self, grads=None):
+    def prune_model(self, grads=None, ratio=None):
         self.spec, self.params, self.state = prune_model(
             self.spec,
             self.params,
             self.state,
-            ratio=self.cfg.pruning_ratio,
+            ratio=self.cfg.pruning_ratio if ratio is None else ratio,
             method=self.cfg.pruning_method,
             global_pruning=self.cfg.global_pruning,
             round_to=self.cfg.round_to,
@@ -280,10 +280,53 @@ class StructuredPruningEngine:
             self.logger.info("pruned → %s", self.spec.name)
         return self.spec, self.params, self.state
 
-    def finetune(self, train_d, val_d, fold_dir):
+    def prune_iterative(self, train_d, val_d, fold_dir, grads_fn=None):
+        """Gradual pruning: K prune→finetune cycles (extension; the reference
+        is one-shot, `pruning_engine_structured.py:70`). Each step keeps
+        (1-ratio)^(1/K) of the CURRENT channels so the compounded keep
+        fraction matches a one-shot run at cfg.pruning_ratio; the short
+        fine-tune between steps lets importance re-rank on recovered weights
+        (Han et al.'s iterative prune-retrain loop). The final step ends
+        un-finetuned so the caller's pruned / pruned+ft rows keep their
+        one-shot meaning. `grads_fn(spec, params, state)` re-derives taylor
+        grads on the current (pruned, re-tuned) model each step."""
+        k = max(int(self.cfg.iterative_steps), 1)
+        step_ratio = 1.0 - (1.0 - self.cfg.pruning_ratio) ** (1.0 / k)
+        for i in range(k):
+            grads = grads_fn(self.spec, self.params, self.state) if grads_fn else None
+            self.prune_model(grads=grads, ratio=step_ratio)
+            if train_d is not None:
+                self.recalibrate(train_d)
+            if i < k - 1 and self.cfg.iterative_ft_epochs > 0:
+                self.logger.info(
+                    "iterative step %d/%d: fine-tuning %d epoch(s) before next step",
+                    i + 1, k, self.cfg.iterative_ft_epochs,
+                )
+                self.finetune(train_d, val_d, fold_dir,
+                              epochs=self.cfg.iterative_ft_epochs)
+        return self.spec, self.params, self.state
+
+    def recalibrate(self, train_d):
+        """Re-estimate BN running stats on train images (train/bn_recal.py).
+
+        No-op when disabled or for BN-less families (ViT)."""
+        if not getattr(self.cfg, "bn_recalibrate", True):
+            return self.state
+        from ...train.bn_recal import recalibrate_bn
+
+        self.state = recalibrate_bn(
+            self.spec, self.params, self.state, train_d[0],
+            batch_size=self.cfg.batch_size,
+            num_batches=getattr(self.cfg, "bn_recal_batches", 16),
+            compute_dtype=self.cfg.compute_dtype,
+        )
+        return self.state
+
+    def finetune(self, train_d, val_d, fold_dir, epochs=None):
         from ...train.loop import train_classifier
 
-        if self.cfg.finetune_epochs <= 0:
+        epochs = self.cfg.finetune_epochs if epochs is None else epochs
+        if epochs <= 0:
             return self.params, self.state
         self.params, self.state, _ = train_classifier(
             self.cfg,
@@ -294,7 +337,7 @@ class StructuredPruningEngine:
             val_d,
             fold_dir,
             self.logger,
-            epochs=self.cfg.finetune_epochs,
+            epochs=epochs,
             learning_rate=self.cfg.learning_rate,
             save=False,
         )

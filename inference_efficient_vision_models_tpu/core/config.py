@@ -203,6 +203,18 @@ class PruningConfig(BaseConfig):
         # multiples of the VPU lane/sublane granularity for good XLA tiling.
         self.round_to = 1
         self.finetune_epochs = 0
+        # Iterative (gradual) pruning — an extension over the reference's
+        # single `pruner.step()`: split pruning_ratio across K prune→finetune
+        # cycles (each step keeps (1-ratio)^(1/K) of the current channels so
+        # the compounded total matches a one-shot run at the same ratio).
+        self.iterative_steps = 1
+        self.iterative_ft_epochs = 1  # fine-tune epochs BETWEEN steps
+        # Re-estimate BN running stats on train data right after pruning
+        # (train/bn_recal.py). Stale stats collapse eval accuracy at
+        # aggressive ratios (measured: 19% → >90% at ratio 0.30); the
+        # reference leaves this to the fine-tune EMA.
+        self.bn_recalibrate = True
+        self.bn_recal_batches = 16
         self.learning_rate = 1e-5
         self.batch_size = 64
         self.student_exp_path: Optional[str] = None

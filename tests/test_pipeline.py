@@ -113,6 +113,23 @@ def test_stage3_prune_taylor_and_global(pipeline_root):
 
 
 @pytest.mark.slow
+def test_stage3_prune_iterative(pipeline_root):
+    """Gradual pruning: 2 prune→finetune cycles through the CLI reach the
+    same compounded ratio as one-shot and save a loadable artifact."""
+    rows = prune.main(_args(pipeline_root, [
+        "choice=1", "experiment_name='iter'", "pruning_ratio=0.2",
+        "iterative_steps=2", "iterative_ft_epochs=1", "finetune_epochs=0",
+        "num_folds=2",
+    ]))
+    by = {(r["fold"], r["phase"]): r for r in rows}
+    assert by[(0, "pruned")]["Params (M)"] < by[(0, "baseline")]["Params (M)"] * 0.85
+    spec_json = os.path.join(
+        pipeline_root, "pruning", "iter", "fold_0", "model_best.spec.json"
+    )
+    assert os.path.exists(spec_json)
+
+
+@pytest.mark.slow
 def test_stage4_quantize(pipeline_root):
     rows = quantize.main(_args(pipeline_root, [
         "model_type='pruned'", "calibration_images=32",

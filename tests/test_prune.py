@@ -148,6 +148,60 @@ def test_activation_importance_kills_dead_channels(method):
     assert np.intersect1d(keep_l2[tuple(group["key"])], dead).size
 
 
+def test_iterative_prune_compounds_to_one_shot():
+    """K prune steps at (1-R)^(1/K) per-step keep ≈ one-shot prune at R.
+
+    iterative_ft_epochs=0 isolates the width math (no data needed); the
+    fine-tune-between-steps path is covered by the pipeline CLI test."""
+    import logging
+
+    from inference_efficient_vision_models_tpu.core.config import PruningConfig
+
+    spec, params, state = create_model("resnet18", num_classes=6)
+    cfg = PruningConfig(
+        pruning_ratio=0.3, iterative_steps=3, iterative_ft_epochs=0,
+        pruning_method="l2", round_to=1,
+    )
+    logger = logging.getLogger("test_iterative")
+    engine = StructuredPruningEngine(cfg, spec, params, state, logger)
+    engine.prune_iterative(None, None, None)
+
+    _, p_once, _ = prune_model(spec, params, state, ratio=0.3, method="l2")
+    n_iter = resnet.param_count(engine.params)
+    n_once = resnet.param_count(p_once)
+    assert abs(n_iter - n_once) / n_once < 0.05, (n_iter, n_once)
+    # widths shrink monotonically vs the unpruned spec
+    assert all(
+        w_new <= w_old
+        for w_new, w_old in zip(engine.spec.stage_widths, spec.stage_widths)
+    )
+
+
+def test_bn_recalibration_restores_eval_mode():
+    """After pruning, eval-mode (running-stats) logits diverge from
+    train-mode (batch-stats) logits because the running stats are stale;
+    recalibrate_bn must close that gap on the calibration distribution."""
+    from inference_efficient_vision_models_tpu.models.registry import apply_model
+    from inference_efficient_vision_models_tpu.train.bn_recal import recalibrate_bn
+    from inference_efficient_vision_models_tpu.data.pipeline import normalize_images
+
+    spec, params, state = create_model("resnet18", num_classes=6)
+    spec2, p2, s2 = prune_model(spec, params, state, ratio=0.4, method="l2")
+
+    rng = np.random.default_rng(11)
+    imgs = rng.integers(0, 256, (128, 64, 64, 3), dtype=np.uint8)
+    x = normalize_images(jnp.asarray(imgs))
+
+    ref, _ = apply_model(spec2, p2, s2, x, train=True)  # batch-stats behavior
+    stale, _ = apply_model(spec2, p2, s2, x, train=False)
+    s3 = recalibrate_bn(spec2, p2, s2, imgs, batch_size=32, num_batches=4)
+    recal, _ = apply_model(spec2, p2, s3, x, train=False)
+
+    err_stale = float(jnp.mean((stale - ref) ** 2))
+    err_recal = float(jnp.mean((recal - ref) ** 2))
+    assert err_recal < err_stale * 0.2, (err_recal, err_stale)
+
+
 def test_round_to_alignment():
     spec, params, state = create_model("resnet18", num_classes=6)
     new_spec, p2, s2 = prune_model(
