@@ -14,7 +14,7 @@ import os
 from ..core import PruningConfig, artifacts
 from ..metrics.report import summarize_folds
 from ..compress.prune import StructuredPruningEngine
-from ..compress.prune.engine import taylor_grads
+from ..compress.prune.engine import taylor_grads_accumulated
 from .teacher import load_stage_model
 
 
@@ -41,8 +41,11 @@ def run_prune(cfg, logger, data, split):
         rows.append(_metrics_row(fold, "baseline", engine.evaluate_metrics(test_d, "baseline")))
 
         def _taylor_grads_fn(spec_, params_, state_):
-            batch = next(iter(Batches(train_d[0], train_d[1], cfg.batch_size)))
-            return taylor_grads(spec_, params_, state_, batch)
+            # cfg.taylor_batches-batch mean gradient (the reference's single
+            # `pruner.step()` sees one batch — noise-dominated; VERDICT r3).
+            it = iter(Batches(train_d[0], train_d[1], cfg.batch_size))
+            batches = [b for _, b in zip(range(cfg.taylor_batches), it)]
+            return taylor_grads_accumulated(spec_, params_, state_, batches)
 
         grads_fn = _taylor_grads_fn if cfg.pruning_method == "taylor" else None
         if cfg.iterative_steps > 1:

@@ -21,7 +21,7 @@ import jax
 import numpy as np
 
 from ...models.widths import ResNetSpec
-from .graph import get_path, group_slices, set_path
+from .graph import IN_AXIS, get_path, group_slices, set_path
 from .importance import channel_importance
 
 GroupKey = Tuple
@@ -48,10 +48,17 @@ def select_channels(
 ) -> Dict[GroupKey, np.ndarray]:
     """Choose kept channel indices (sorted, original order) per group."""
     groups = group_slices(spec)
-    scores = {
-        tuple(g["key"]): channel_importance(g, params, method, rng=rng, grads=grads)
-        for g in groups
-    }
+    scores = {}
+    for g in groups:
+        s = channel_importance(g, params, method, rng=rng, grads=grads)
+        lanes = int(g.get("lanes", 1))
+        if lanes > 1:
+            # Grouped-conv group (ResNeXt): selection granularity is a LANE
+            # (one channel per cardinality group, same relative index) —
+            # rank lane scores, importance summed across groups (channel
+            # layout is group-major, so reshape axis 0 is the group index).
+            s = s.reshape(lanes, len(s) // lanes).sum(axis=0)
+        scores[tuple(g["key"])] = s
 
     if global_pruning:
         # One threshold across all groups on mean-normalized scores
@@ -69,19 +76,28 @@ def select_channels(
     keep: Dict[GroupKey, np.ndarray] = {}
     for g in groups:
         key = tuple(g["key"])
-        s = scores[key]
+        s = scores[key]  # lane scores for lane groups (see above)
+        lanes = int(g.get("lanes", 1))
+        per_group = len(s)  # == lanes count for lane groups
         if global_pruning:
             sn = s / (s.mean() + 1e-12)
             kept = np.flatnonzero(sn >= thresh)
             min_keep = max(1, min(round_to, len(s)))
             if len(kept) < min_keep:
                 kept = np.argsort(-sn)[:min_keep]
-            if round_to > 1:  # trim to multiple, dropping weakest extras
+            if round_to > 1 and lanes == 1:  # trim to multiple, dropping weakest
                 n = max((len(kept) // round_to) * round_to, min_keep)
                 kept = kept[np.argsort(-sn[kept])][:n]
+        elif lanes > 1:
+            # total keep rounded to round_to, then to whole lanes
+            n_total = _keep_count(len(s) * lanes, ratio, round_to)
+            n_lanes = int(min(max(round(n_total / lanes), 1), len(s)))
+            kept = np.argsort(-s)[:n_lanes]
         else:
             n = _keep_count(len(s), ratio, round_to)
             kept = np.argsort(-s)[:n]  # strongest n
+        if lanes > 1:  # expand kept lanes to absolute channel indices
+            kept = (kept[None, :] + (np.arange(lanes) * per_group)[:, None]).ravel()
         keep[key] = np.sort(kept)
     return keep
 
@@ -110,6 +126,16 @@ def apply_pruning(
                 bn_s[k] = np.take(np.asarray(bn_s[k]), idx, axis=0)
         for path, axis in g["consumers"]:
             set_path(params, path, np.take(np.asarray(get_path(params, path)), idx, axis=axis))
+        for path, n_groups in g.get("grouped_in", ()):
+            # grouped conv kernel (H, W, C_in/groups, C_out): the input axis
+            # is per-group RELATIVE indexing, sliced by the kept lanes
+            per_group = g["width"] // n_groups
+            rel = np.unique(idx % per_group)
+            assert len(rel) * n_groups == len(idx), (
+                "grouped-conv keep set is not lane-structured: "
+                f"{len(idx)} kept of {g['width']} over {n_groups} groups"
+            )
+            set_path(params, path, np.take(np.asarray(get_path(params, path)), rel, axis=IN_AXIS))
         for path in g.get("vectors", ()):  # 1-D biases (SE convs)
             set_path(params, path, np.take(np.asarray(get_path(params, path)), idx, axis=0))
         if g["fc_in"]:
@@ -183,7 +209,11 @@ def _rebuild_spec(spec, new_widths: Dict[GroupKey, int]):
                 stem_width = n
         else:  # inner
             _, s, b, i = key
-            inner[s][b][i] = n
+            if spec.groups > 1 and spec.block == "bottleneck":
+                # grouped bottleneck: one welded inner group sets both widths
+                inner[s][b] = [n] * len(inner[s][b])
+            else:
+                inner[s][b][i] = n
     return spec.with_widths(
         stage_widths=tuple(stage_widths), inner_widths=inner, stem_width=stem_width
     )
@@ -205,6 +235,31 @@ def taylor_grads(spec, params, state, batch, compute_dtype="float32"):
         return cross_entropy(logits, jnp.asarray(labels), jnp.asarray(mask))
 
     return jax.grad(loss_fn)(params)
+
+
+def taylor_grads_accumulated(spec, params, state, batches, compute_dtype="float32"):
+    """Mean loss gradient over a calibration set of batches.
+
+    The reference's Taylor path sees exactly one batch (a single
+    `pruner.step()` after one backward, `pruning_engine_structured.py:66,70`)
+    which makes |w·g| rankings noise-dominated; averaging the gradient over N
+    batches (jitted per-batch grad, running mean on device) recovers a usable
+    estimator at identical peak memory."""
+    mean = None
+    n = 0
+    grad_fn = jax.jit(
+        lambda p, batch: taylor_grads(spec, p, state, batch, compute_dtype)
+    )
+    for batch in batches:
+        g = grad_fn(params, batch)
+        n += 1
+        if mean is None:
+            mean = g
+        else:
+            mean = jax.tree.map(lambda m, x: m + (x - m) / n, mean, g)
+    if mean is None:
+        raise ValueError("taylor_grads_accumulated: empty calibration iterable")
+    return mean
 
 
 def prune_model(

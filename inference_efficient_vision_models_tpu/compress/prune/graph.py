@@ -326,8 +326,38 @@ def group_slices_resnet(spec: ResNetSpec) -> List[Dict]:
         })
 
     # --- free inner-conv groups ------------------------------------------
+    # ResNeXt (spec.groups > 1): conv2 is a grouped conv, which welds the
+    # two bottleneck inner widths into ONE coupled group — conv1-out ==
+    # conv2-in == conv2-out == conv3-in — with lane-structured selection:
+    # channels can only be removed as whole LANES (the same within-group
+    # relative index across all cardinality groups), because the grouped
+    # kernel's HWIO input axis (size W/groups) is shared relative indexing
+    # across output groups. This is the grouped dependency edge the
+    # reference gets from torch_pruning's group-conv handling.
     for s, depth in enumerate(spec.depths):
         for b in range(depth):
+            if spec.groups > 1 and spec.block == "bottleneck":
+                w0, w1 = spec.inner_widths[s][b]
+                assert w0 == w1, (
+                    f"grouped bottleneck ({s},{b}) needs equal inner widths, "
+                    f"got {spec.inner_widths[s][b]}"
+                )
+                groups.append({
+                    "key": ("inner", s, b, 0),
+                    "width": w0,
+                    "producers": [
+                        ((layer(s), str(b), "conv1", "w"), OUT_AXIS),
+                        ((layer(s), str(b), "conv2", "w"), OUT_AXIS),
+                    ],
+                    "bns": [(layer(s), str(b), "bn1"), (layer(s), str(b), "bn2")],
+                    "consumers": [((layer(s), str(b), "conv3", "w"), IN_AXIS)],
+                    # conv2's IN axis is per-group relative: sliced by LANE
+                    # indices (idx % (W/groups)), not absolute channels
+                    "grouped_in": [((layer(s), str(b), "conv2", "w"), spec.groups)],
+                    "lanes": spec.groups,
+                    "fc_in": False,
+                })
+                continue
             for i, w in enumerate(spec.inner_widths[s][b]):
                 conv_n = i + 1
                 groups.append({

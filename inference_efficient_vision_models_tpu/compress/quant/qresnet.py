@@ -49,11 +49,12 @@ ADAROUND_SKIP = ("conv1",)
 # --------------------------------------------------------------------------
 
 
-def _conv_f32(x, w, b, stride, padding, relu):
+def _conv_f32(x, w, b, stride, padding, relu, groups: int = 1):
     y = lax.conv_general_dilated(
         x, jnp.asarray(w),
         (stride, stride), [(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
     ) + jnp.asarray(b)
     return jax.nn.relu(y) if relu else y
 
@@ -105,7 +106,8 @@ def apply_folded(
             else:
                 h = _conv_f32(t, blk["conv1"]["w"], blk["conv1"]["b"], 1, 0, relu=True)
                 h = tap(f"l{s}b{b}i0", h)
-                h = _conv_f32(h, blk["conv2"]["w"], blk["conv2"]["b"], stride, 1, relu=True)
+                h = _conv_f32(h, blk["conv2"]["w"], blk["conv2"]["b"], stride, 1,
+                              relu=True, groups=spec.groups)
                 h = tap(f"l{s}b{b}i1", h)
                 h = _conv_f32(h, blk["conv3"]["w"], blk["conv3"]["b"], 1, 0, relu=False)
             if "down" in blk:
@@ -325,10 +327,13 @@ def convert_static_int8(
 # --------------------------------------------------------------------------
 
 
-def _qconv_int8(x_s, zp, qc, stride: int, padding: int):
+def _qconv_int8(x_s, zp, qc, stride: int, padding: int, groups: int = 1):
     """int8 conv with affine-input correction → fp32 (dequant + bias).
 
     x_s: shifted-int8 activations; zp: their (unshifted) zero point.
+    Grouped convs (ResNeXt) need no extra correction: each output channel
+    sees only its group's inputs and every input shares the same zero
+    point, so the per-channel ``zp_s · Σw`` term is already exact.
     """
     zp_s = (zp - 128).astype(jnp.int8)
     if padding:
@@ -343,6 +348,7 @@ def _qconv_int8(x_s, zp, qc, stride: int, padding: int):
         (stride, stride),
         [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
         preferred_element_type=jnp.int32,
     )
     acc = acc - (zp - 128) * qc["w_sum"]
@@ -359,7 +365,8 @@ def _requant(y, scale, zp):
     return (jnp.clip(q, 0, 255) - 128).astype(jnp.int8)
 
 
-def _conv_q(x_s, zp, in_scale, qc, stride, padding, *, relu, requant, impl, interpret):
+def _conv_q(x_s, zp, in_scale, qc, stride, padding, *, relu, requant, impl, interpret,
+            groups: int = 1):
     """One quantized conv through the selected backend.
 
     impl="lax"    — XLA's native int8 convolution + fused fp32 epilogue
@@ -368,8 +375,12 @@ def _conv_q(x_s, zp, in_scale, qc, stride, padding, *, relu, requant, impl, inte
                     numerically equivalent, experimental perf.
     impl="im2col" — XLA patches + Pallas fused int8 matmul; equivalent but
                     HBM-bound by patch materialization.
-    Returns requantized int8 or fp32.
+    Returns requantized int8 or fp32. Grouped convs (ResNeXt conv2) always
+    take the lax path — the Pallas/im2col kernels assume dense channels.
     """
+    if groups > 1:
+        y = _epilogue(_qconv_int8(x_s, zp, qc, stride, padding, groups), in_scale, qc, relu=relu)
+        return _requant(y, qc["out_scale"], qc["out_zp"]) if requant else y
     if impl == "auto":
         # Route small-spatial layers through im2col + XLA int8 matmul.
         # NOTE: isolated-op microbenchmarks favored this for H≤14, but the
@@ -485,7 +496,8 @@ def apply_int8(spec: ResNetSpec, q, x, *, impl: str = "lax", interpret: bool = F
                 a_q = _conv_q(x_in, in_z, in_s, blk["conv1"], 1, 0,
                               relu=True, requant=True, **kw)
                 b_q = _conv_q(a_q, blk["conv1"]["out_zp"], blk["conv1"]["out_scale"],
-                              blk["conv2"], stride, 1, relu=True, requant=True, **kw)
+                              blk["conv2"], stride, 1, relu=True, requant=True,
+                              groups=spec.groups, **kw)
                 h = _conv_q(b_q, blk["conv2"]["out_zp"], blk["conv2"]["out_scale"],
                             blk["conv3"], 1, 0, relu=False, requant=False, **kw)
             if "down" in blk:

@@ -91,6 +91,13 @@ class BaseConfig:
         self.model_axis = "model"  # mesh axis name for optional TP
         self.synthetic_data = "auto"  # True | False | "auto" (use if data_dir missing)
         self.synthetic_size = 256  # images per split when synthesizing
+        # 'easy' — the original 6-class saturating surrogate (pipeline CI);
+        # 'hard' — the discriminative surrogate for compression A/Bs:
+        # fine-grained orientation×frequency classes, train→test shift,
+        # deterministic label noise (pair with num_classes=12 and a small
+        # synthetic_size, e.g. 150). See data/synthetic.py.
+        self.synthetic_variant = "easy"
+        self.synthetic_label_noise = 0.05  # train-split noise, 'hard' only
 
         self.cls_name_id_map = dict(CLS_NAME_ID_MAP)
 
@@ -215,6 +222,13 @@ class PruningConfig(BaseConfig):
         # reference leaves this to the fine-tune EMA.
         self.bn_recalibrate = True
         self.bn_recal_batches = 16
+        # Calibration budget for the Taylor criterion: loss gradients are
+        # accumulated (averaged) over this many train batches before ranking.
+        # The reference's single `pruner.step()` effectively uses ONE batch
+        # (`pruning_engine_structured.py:66,70`), which makes Taylor pure
+        # noise (r3 A/B: 63.5% vs 98.4% for l1 at ratio 0.30); ≥8 batches
+        # gives the estimator enough samples to be comparable.
+        self.taylor_batches = 8
         self.learning_rate = 1e-5
         self.batch_size = 64
         self.student_exp_path: Optional[str] = None

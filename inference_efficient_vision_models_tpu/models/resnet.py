@@ -38,13 +38,16 @@ BN_MOMENTUM = 0.1
 # --------------------------------------------------------------------------
 
 
-def conv2d(x, w, stride: int = 1, padding: int = 0, dtype=None):
+def conv2d(x, w, stride: int = 1, padding: int = 0, dtype=None, groups: int = 1):
     """NHWC conv with torch-style symmetric padding.
 
     bf16 inputs emit bf16 (the MXU accumulates fp32 internally; BN
     re-normalizes in fp32 right after). fp32 inputs request fp32 output
     explicitly. A fp32 ``preferred_element_type`` on bf16 inputs is avoided:
     its conv VJP rejects the mixed-dtype cotangent.
+
+    ``groups`` maps to ``feature_group_count`` (ResNeXt cardinality; kernel
+    HWIO with I = C_in/groups).
     """
     if dtype is not None:
         x = x.astype(dtype)
@@ -55,6 +58,7 @@ def conv2d(x, w, stride: int = 1, padding: int = 0, dtype=None):
         window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
         preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
     )
 
@@ -158,7 +162,9 @@ def _init_block(key, spec: ResNetSpec, s: int, b: int):
         w1, w2 = inner
         p["conv1"] = {"w": _conv_init(next(keys), 1, 1, cin, w1)}
         p["bn1"], st["bn1"] = _bn_init(w1)
-        p["conv2"] = {"w": _conv_init(next(keys), 3, 3, w1, w2)}
+        # grouped 3×3 (ResNeXt): kernel input depth is w1/groups
+        assert w1 % spec.groups == 0, (w1, spec.groups)
+        p["conv2"] = {"w": _conv_init(next(keys), 3, 3, w1 // spec.groups, w2)}
         p["bn2"], st["bn2"] = _bn_init(w2)
         p["conv3"] = {"w": _conv_init(next(keys), 1, 1, w2, cout)}
         p["bn3"], st["bn3"] = _bn_init(cout)
@@ -224,7 +230,8 @@ def _apply_block(spec, p, st, x, s, b, *, train, compute_dtype):
         out = conv2d(x, p["conv1"]["w"], stride=1, padding=0, dtype=compute_dtype)
         out, new_st["bn1"] = batch_norm(out, p["bn1"], st["bn1"], train=train)
         out = jax.nn.relu(out)
-        out = conv2d(out, p["conv2"]["w"], stride=stride, padding=1, dtype=compute_dtype)
+        out = conv2d(out, p["conv2"]["w"], stride=stride, padding=1,
+                     dtype=compute_dtype, groups=spec.groups)
         out, new_st["bn2"] = batch_norm(out, p["bn2"], st["bn2"], train=train)
         out = jax.nn.relu(out)
         out = conv2d(out, p["conv3"]["w"], stride=1, padding=0, dtype=compute_dtype)

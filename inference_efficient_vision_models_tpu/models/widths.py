@@ -36,6 +36,11 @@ class ResNetSpec:
     stem_width: int
     num_classes: int
     in_chans: int = 3
+    # Cardinality (ResNeXt): conv2 of every bottleneck block is a grouped
+    # conv with this many feature groups (torchvision `groups=32` etc.).
+    # Pruning must then keep conv2's in/out widths equal and group-aligned —
+    # the grouped dependency edge (see compress/prune/graph.py).
+    groups: int = 1
 
     # -- derived structure -------------------------------------------------
     def block_in_width(self, s: int, b: int) -> int:
@@ -103,27 +108,42 @@ _PLANES = (64, 128, 256, 512)
 
 def resnet_spec(name: str, num_classes: int = 6, in_chans: int = 3) -> ResNetSpec:
     """Stock torchvision-compatible specs (reference model zoo:
-    `teacher_training/utils.py:21-66` builds these via torchvision)."""
+    `teacher_training/utils.py:21-66` builds these via torchvision).
+
+    ResNeXt rows follow torchvision's parametrization: inner bottleneck
+    width = planes · base_width/64 · groups, both inner convs equal, conv2
+    grouped by cardinality. ``resnext26_32x4d`` is the compact student
+    variant (depths of resnet18, bottleneck/grouped blocks) for the 4-stage
+    pipeline on the fifth family."""
     table = {
-        "resnet18": ("basic", (2, 2, 2, 2), 1),
-        "resnet34": ("basic", (3, 4, 6, 3), 1),
-        "resnet50": ("bottleneck", (3, 4, 6, 3), 4),
-        "resnet101": ("bottleneck", (3, 4, 23, 3), 4),
-        "resnet152": ("bottleneck", (3, 8, 36, 3), 4),
+        # name: (block, depths, expansion, groups, base_width)
+        "resnet18": ("basic", (2, 2, 2, 2), 1, 1, 64),
+        "resnet34": ("basic", (3, 4, 6, 3), 1, 1, 64),
+        "resnet50": ("bottleneck", (3, 4, 6, 3), 4, 1, 64),
+        "resnet101": ("bottleneck", (3, 4, 23, 3), 4, 1, 64),
+        "resnet152": ("bottleneck", (3, 8, 36, 3), 4, 1, 64),
+        "resnext50_32x4d": ("bottleneck", (3, 4, 6, 3), 4, 32, 4),
+        "resnext101_32x8d": ("bottleneck", (3, 4, 23, 3), 4, 32, 8),
+        "resnext26_32x4d": ("bottleneck", (2, 2, 2, 2), 4, 32, 4),
     }
     if name not in table:
         raise ValueError(f"unknown resnet variant: {name!r} (have {sorted(table)})")
-    block, depths, expansion = table[name]
+    block, depths, expansion, groups, base_width = table[name]
     stage_widths = tuple(p * expansion for p in _PLANES)
+    if groups > 1:
+        inner_planes = tuple(p * base_width // 64 * groups for p in _PLANES)
+    else:
+        inner_planes = _PLANES
     return ResNetSpec(
         name=name,
         block=block,
         depths=depths,
         stage_widths=stage_widths,
-        inner_widths=_uniform_inner(block, depths, _PLANES),
+        inner_widths=_uniform_inner(block, depths, inner_planes),
         stem_width=64,
         num_classes=num_classes,
         in_chans=in_chans,
+        groups=groups,
     )
 
 

@@ -1,0 +1,185 @@
+"""ResNeXt (grouped-conv) family: parity, pruning lanes, quantization.
+
+The fifth model family (VERDICT r3 item 6): grouped 3×3 convs add a new
+dependency-graph edge type — the two bottleneck inner widths weld into one
+lane-structured group (conv1-out == conv2-in/out == conv3-in, removable only
+as whole lanes, i.e. the same within-group relative index across all
+cardinality groups). The reference reaches these models through its open
+torchvision factory (`teacher_training/utils.py:21-66`, e.g.
+``resnext50_32x4d``).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from inference_efficient_vision_models_tpu.compress.prune import (
+    group_slices,
+    prune_model,
+)
+from inference_efficient_vision_models_tpu.compress.prune.engine import (
+    apply_pruning,
+    select_channels,
+)
+from inference_efficient_vision_models_tpu.compress.prune.graph import (
+    get_path,
+    set_path,
+)
+from inference_efficient_vision_models_tpu.models import create_model, resnet
+from inference_efficient_vision_models_tpu.models.widths import ResNetSpec
+
+
+def _forward(spec, params, state, x):
+    return np.asarray(
+        resnet.apply(spec, params, state, jnp.asarray(x), train=False)[0]
+    )
+
+
+def _tiny_next_spec(num_classes=6):
+    """Small grouped-bottleneck net (cardinality 4) for cheap CPU tests."""
+    return ResNetSpec(
+        name="tinynext",
+        block="bottleneck",
+        depths=(1, 1),
+        stage_widths=(32, 64),
+        inner_widths=(((16, 16),), ((32, 32),)),
+        stem_width=16,
+        num_classes=num_classes,
+        groups=4,
+    )
+
+
+def test_resnext_torch_parity():
+    torch = pytest.importorskip("torch")
+    from tests import torch_ref
+
+    from inference_efficient_vision_models_tpu.models.torch_import import (
+        from_torch_state_dict,
+    )
+
+    tm = torch_ref.resnext26_32x4d(num_classes=6)
+    tm.eval()
+    spec, _, _ = create_model("resnext26_32x4d", num_classes=6)
+    params, state = from_torch_state_dict(spec, tm.state_dict())
+
+    x = np.random.default_rng(0).standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = _forward(spec, params, state, x)
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_resnext_zeroed_lane_prune_is_exact():
+    """Kill whole lanes in grouped groups / channels elsewhere; pruning
+    exactly those must leave logits bit-identical."""
+    spec = _tiny_next_spec()
+    params, state = resnet.init(jax.random.PRNGKey(0), spec)
+    params = jax.device_get(params)
+    state = jax.device_get(state)
+    rng = np.random.default_rng(1)
+
+    keep = {}
+    for g in group_slices(spec):
+        w = g["width"]
+        lanes = int(g.get("lanes", 1))
+        if lanes > 1:
+            per_group = w // lanes
+            kill_rel = rng.choice(per_group, size=max(per_group // 4, 1), replace=False)
+            kill = (kill_rel[None, :] + (np.arange(lanes) * per_group)[:, None]).ravel()
+        else:
+            kill = rng.choice(w, size=max(w // 4, 1), replace=False)
+        keep[tuple(g["key"])] = np.setdiff1d(np.arange(w), kill)
+        for path, axis in g["producers"]:
+            arr = np.asarray(get_path(params, path)).copy()
+            sl = [slice(None)] * arr.ndim
+            sl[axis] = kill
+            arr[tuple(sl)] = 0.0
+            set_path(params, path, arr)
+        for bn_path in g["bns"]:
+            bn = get_path(params, bn_path)
+            for k in ("scale", "bias"):
+                v = np.asarray(bn[k]).copy()
+                v[kill] = 0.0
+                bn[k] = v
+
+    x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    ref = _forward(spec, params, state, x)
+    new_spec, new_params, new_state = apply_pruning(spec, params, state, keep)
+    got = _forward(new_spec, new_params, new_state, x)
+
+    # the welded inner group must have shrunk BOTH inner widths and the
+    # grouped kernel's relative input axis
+    assert new_spec.inner_widths[0][0][0] == new_spec.inner_widths[0][0][1]
+    assert new_spec.inner_widths[0][0][0] < spec.inner_widths[0][0][0]
+    w2 = new_params["layer1"]["0"]["conv2"]["w"]
+    assert w2.shape[2] == new_spec.inner_widths[0][0][0] // spec.groups
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("method", ["l2", "random"])
+def test_resnext_prune_model_shrinks_and_runs(method):
+    spec, params, state = create_model("resnext26_32x4d", num_classes=6)
+    n0 = resnet.param_count(params)
+    new_spec, p2, s2 = prune_model(
+        spec, params, state, ratio=0.25, method=method, round_to=8, seed=0
+    )
+    n1 = resnet.param_count(p2)
+    assert n1 < n0
+    # every grouped inner width stays cardinality-aligned
+    for s, depth in enumerate(new_spec.depths):
+        for b in range(depth):
+            w0, w1 = new_spec.inner_widths[s][b]
+            assert w0 == w1 and w0 % new_spec.groups == 0, (s, b, w0, w1)
+    x = np.random.default_rng(2).standard_normal((1, 64, 64, 3)).astype(np.float32)
+    out = _forward(new_spec, p2, s2, x)
+    assert out.shape == (1, 6)
+    assert np.isfinite(out).all()
+
+
+def test_resnext_global_pruning_lane_structured():
+    spec = _tiny_next_spec()
+    params, state = resnet.init(jax.random.PRNGKey(3), spec)
+    keep = select_channels(
+        spec, jax.device_get(params),
+        ratio=0.3, method="l1", global_pruning=True, round_to=1,
+    )
+    for g in group_slices(spec):
+        lanes = int(g.get("lanes", 1))
+        if lanes > 1:
+            idx = keep[tuple(g["key"])]
+            per_group = g["width"] // lanes
+            rel = np.unique(idx % per_group)
+            assert len(rel) * lanes == len(idx)
+
+
+def test_resnext_static_int8_agreement():
+    import logging
+
+    from inference_efficient_vision_models_tpu.compress.quant import qresnet
+    from inference_efficient_vision_models_tpu.compress.quant.engine import (
+        QuantizationEngine,
+    )
+    from inference_efficient_vision_models_tpu.data.pipeline import normalize_images
+
+    class _Cfg:
+        batch_size = 8
+        calibration_images = 16
+        DEBUG_MODE = False
+        image_size = (32, 32)
+        compute_dtype = "float32"
+
+    spec = _tiny_next_spec()
+    params, state = resnet.init(jax.random.PRNGKey(4), spec)
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 255, (16, 32, 32, 3)).astype(np.uint8)
+    labels = rng.integers(0, 6, 16).astype(np.int32)
+
+    eng = QuantizationEngine(_Cfg(), spec, params, state, logging.getLogger("q"))
+    qmodel, q_fn = eng.static_quantize((imgs, labels))
+
+    x = normalize_images(jnp.asarray(imgs[:8]))
+    ref = np.asarray(qresnet.apply_folded(spec, eng.folded, x))
+    got = np.asarray(q_fn(jnp.asarray(imgs[:8])))
+    err = np.abs(got - ref) / (np.abs(ref).max() + 1e-6)
+    assert err.max() < 0.25, err.max()
