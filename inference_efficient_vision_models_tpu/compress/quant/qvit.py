@@ -396,6 +396,41 @@ def _static_dense_fast(x, qd, out_dtype=None, act=None):
     return y.reshape(*shape[:-1], -1)
 
 
+def _mlp_pair_fused(z, qd1, qd2, out_dtype):
+    """mlp1(+GELU) → mlp2 with the intermediate kept INT8 in HBM.
+
+    Closes the bandwidth lead identified in r3 (`scripts/vit_block_pieces.py`:
+    ~18 ms of the 58.9 ms static-int8 ViT forward was per-dense
+    quantize/requant HBM traffic): mlp1's Pallas epilogue requantizes
+    straight to mlp2's calibrated input qparams, so the (B·T, 4·D) hidden —
+    the largest activation in the network — is written and re-read as int8
+    instead of bf16 (2× less traffic on that tensor), and mlp2's kernel
+    skips its in-VMEM quantize. Numerics: identical chain except the
+    intermediate skips one bf16 rounding (strictly less error than the
+    unfused path).
+    """
+    shape = z.shape
+    k = shape[-1]
+    z8 = int8_matmul_requant(
+        z.reshape(-1, k), qd1["w_q"], qd1["w_scale"], qd1["b"], qd1["w_sum"],
+        in_scale=qd1["in_scale"], in_zp=qd1["in_zp"], act="gelu",
+        out_scale=qd2["in_scale"], out_zp=qd2["in_zp"],
+        block_m=512 if k >= 1024 else 1024, block_n=int(qd1["w_q"].shape[1]),
+    )
+    k2 = z8.shape[-1]
+    y = int8_matmul_requant(
+        z8, qd2["w_q"], qd2["w_scale"], qd2["b"], qd2["w_sum"],
+        in_scale=qd2["in_scale"], in_zp=qd2["in_zp"], out_dtype=out_dtype,
+        block_m=512 if k2 >= 1024 else 1024, block_n=int(qd2["w_q"].shape[1]),
+    )
+    return y.reshape(*shape[:-1], -1)
+
+
+def _use_mlp_fuse() -> bool:
+    """IEVM_VIT_MLP_FUSE=0 falls back to two independent Pallas denses."""
+    return os.environ.get("IEVM_VIT_MLP_FUSE", "1") == "1"
+
+
 def apply_int8(spec: ViTSpec, q, x, act_dtype=jnp.float32):
     """Static-INT8 ViT forward → fp32 logits.
 
@@ -448,8 +483,16 @@ def apply_int8(spec: ViTSpec, q, x, act_dtype=jnp.float32):
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, heads * hd)
         h = h + _static_dense(out, blk["proj"])
         z = _layer_norm(h, blk["ln2"])
-        z = mlp_dense(z, blk["mlp1"], act="gelu")
-        h = h + mlp_dense(z, blk["mlp2"])
+        if (
+            act_dtype != jnp.float32
+            and _use_pallas_dense()
+            and _use_mlp_fuse()
+        ):
+            # int8-intermediate MLP pair (see _mlp_pair_fused)
+            h = h + _mlp_pair_fused(z, blk["mlp1"], blk["mlp2"], act_dtype)
+        else:
+            z = mlp_dense(z, blk["mlp1"], act="gelu")
+            h = h + mlp_dense(z, blk["mlp2"])
 
     h = _layer_norm(h, q["norm"])
     return _static_dense(h[:, 0], q["head"], out_dtype=jnp.float32)

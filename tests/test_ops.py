@@ -310,3 +310,57 @@ def test_remap_conv_weights_s2d_matches_specialized_stem_remap():
     w3 = rng.standard_normal((3, 3, 3, 8)).astype(np.float32)
     w32, pad_lo3, s23 = remap_conv_weights_s2d(w3, stride=2, pad=1)
     assert w32.shape == (2, 2, 12, 8) and (pad_lo3, s23) == (1, 1)
+
+
+def test_int8_mlp_pair_fused_matches_unfused():
+    """qvit._mlp_pair_fused semantics: mlp1 requantizes its GELU output
+    directly at mlp2's input qparams (int8 intermediate in HBM). Must match
+    the unfused chain (dequant fp32 → re-quantize in mlp2) to within the
+    one-ulp rounding of the shared int8 boundary."""
+    rng = np.random.default_rng(7)
+    M, D, H = 64, 96, 192  # tokens, dim, hidden
+    z = rng.standard_normal((M, D)).astype(np.float32)
+
+    def qd(k, n, seed):
+        r = np.random.default_rng(seed)
+        return {
+            "w_q": r.integers(-128, 128, (k, n), dtype=np.int8),
+            "w_scale": r.uniform(0.001, 0.01, n).astype(np.float32),
+            "b": r.standard_normal(n).astype(np.float32),
+            "in_scale": np.float32(0.04), "in_zp": np.int32(120),
+        }
+
+    qd1, qd2 = qd(D, H, 1), qd(H, D, 2)
+    for d in (qd1, qd2):
+        d["w_sum"] = d["w_q"].astype(np.int32).sum(axis=0)
+
+    kw = dict(block_m=32, block_n=128, interpret=True)
+    # fused: mlp1 emits shifted-int8 at mlp2's input qparams
+    z8 = int8_matmul_requant(
+        jnp.asarray(z), jnp.asarray(qd1["w_q"]), jnp.asarray(qd1["w_scale"]),
+        jnp.asarray(qd1["b"]), jnp.asarray(qd1["w_sum"]),
+        in_scale=qd1["in_scale"], in_zp=qd1["in_zp"], act="gelu",
+        out_scale=qd2["in_scale"], out_zp=qd2["in_zp"], **kw,
+    )
+    fused = np.asarray(int8_matmul_requant(
+        z8, jnp.asarray(qd2["w_q"]), jnp.asarray(qd2["w_scale"]),
+        jnp.asarray(qd2["b"]), jnp.asarray(qd2["w_sum"]),
+        in_scale=qd2["in_scale"], in_zp=qd2["in_zp"], **kw,
+    ))
+
+    # unfused: mlp1 dequantizes to fp32, mlp2 quantizes in-kernel
+    y1 = np.asarray(int8_matmul_requant(
+        jnp.asarray(z), jnp.asarray(qd1["w_q"]), jnp.asarray(qd1["w_scale"]),
+        jnp.asarray(qd1["b"]), jnp.asarray(qd1["w_sum"]),
+        in_scale=qd1["in_scale"], in_zp=qd1["in_zp"], act="gelu", **kw,
+    ))
+    unfused = np.asarray(int8_matmul_requant(
+        jnp.asarray(y1), jnp.asarray(qd2["w_q"]), jnp.asarray(qd2["w_scale"]),
+        jnp.asarray(qd2["b"]), jnp.asarray(qd2["w_sum"]),
+        in_scale=qd2["in_scale"], in_zp=qd2["in_zp"], **kw,
+    ))
+    # identical up to one-ulp ties at the shared int8 re-quantization
+    tol = float(qd2["in_scale"]) * np.abs(qd2["w_q"].astype(np.int32)).sum(0).max() \
+        * qd2["w_scale"].max()
+    assert np.abs(fused - unfused).max() <= tol, (np.abs(fused - unfused).max(), tol)
+    assert np.square(fused - unfused).mean() < np.square(unfused).mean() * 1e-3
