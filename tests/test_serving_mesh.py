@@ -114,3 +114,50 @@ def test_dp_sharded_vit_bf16_executor_matches_single_device():
         got = np.asarray(serve(replicate(mesh, qmodel), shard_batch(mesh, imgs)))
     np.testing.assert_allclose(got, ref, atol=2e-2, rtol=1e-2)
     assert (got.argmax(1) == ref.argmax(1)).all()
+
+
+def test_predictor_mesh_buckets_uneven_tail_and_chained_steps(tmp_path):
+    """Mesh-sharded Predictor with shape buckets: a 36-image stream over
+    batch_size=16 + bucket (8,) dispatches two full batches AND an uneven
+    tail chunk of 4 (padded only to the 8-bucket), across ≥2 chained
+    dispatch steps; every bucket's logits must equal the single-device
+    Predictor's (VERDICT r3 item 7)."""
+    import json as _json
+
+    from flax import serialization
+
+    from inference_efficient_vision_models_tpu.serving import Predictor
+
+    spec, qmodel, _ = _quantized_resnet(n=16)
+    fold_dir = tmp_path / "fold_0"
+    os.makedirs(fold_dir)
+    with open(fold_dir / "spec.json", "w") as f:
+        _json.dump(spec.to_dict(), f)
+    with open(fold_dir / "model_static_int8.msgpack", "wb") as f:
+        f.write(serialization.to_bytes(qresnet.serializable(jax.device_get(qmodel))))
+
+    rng = np.random.default_rng(11)
+    stream = rng.integers(0, 255, (36, 32, 32, 3)).astype(np.uint8)
+
+    single = Predictor.from_artifact(
+        str(fold_dir), "static_int8", batch_size=16, bucket_sizes=(8,)
+    )
+    ref = single.predict_logits(stream)
+
+    mesh = make_mesh(model_parallel=1)  # 8-way data axis
+    dp = Predictor.from_artifact(
+        str(fold_dir), "static_int8", batch_size=16, bucket_sizes=(8,), mesh=mesh
+    )
+    # exercise the batching plan we claim: 16 + 16 + tail-4 → bucket 8
+    plan = [(len(c), v) for c, v in dp._batches(stream)]
+    assert plan == [(16, 16), (16, 16), (8, 4)], plan
+
+    got = dp.predict_logits(stream)
+    assert got.shape == ref.shape == (36, 6)
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-5)
+    assert (got.argmax(1) == ref.argmax(1)).all()
+
+    # chained second step (stream continuation) stays consistent: the same
+    # predictor re-dispatches previously-compiled buckets
+    got2 = dp.predict_logits(stream[:8])
+    np.testing.assert_allclose(got2, ref[:8], atol=1e-4, rtol=1e-5)
