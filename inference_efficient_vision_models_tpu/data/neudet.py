@@ -97,6 +97,18 @@ def load_dataset(cfg, logger=None) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
                 "(%d imgs/class/split)", cfg.data_dir, cfg.synthetic_size
             )
         n = max(cfg.synthetic_size // cfg.num_classes, cfg.num_folds)
+        if getattr(cfg, "synthetic_variant", "easy") == "hard":
+            from .synthetic import make_synthetic_neudet_hard
+
+            train = make_synthetic_neudet_hard(
+                n, size[0], cfg.num_classes, seed=cfg.seed,
+                label_noise=getattr(cfg, "synthetic_label_noise", 0.05),
+            )
+            test = make_synthetic_neudet_hard(
+                max(n // 2, cfg.num_folds), size[0], cfg.num_classes,
+                seed=cfg.seed + 1, shift=True,
+            )
+            return {"train": train, "test": test}
         train = make_synthetic_neudet(n, size[0], cfg.num_classes, seed=cfg.seed)
         test = make_synthetic_neudet(
             max(n // 2, cfg.num_folds), size[0], cfg.num_classes, seed=cfg.seed + 1
