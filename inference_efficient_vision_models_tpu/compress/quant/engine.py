@@ -80,16 +80,25 @@ def s2d_preprocess(imgs: np.ndarray) -> np.ndarray:
 
 
 def evaluate_accuracy_fn(cfg, apply_fn, test_d, host_preprocess=None) -> float:
-    """Accuracy of any (u8 → logits) forward over the test split."""
+    """Accuracy of any (u8 → logits) forward over the test split.
+
+    ``apply_fn`` must already be an end-to-end compiled callable (every
+    engine conversion returns ``partial(jitted_fn, model)``). It is NOT
+    re-wrapped in jax.jit here: tracing through such a partial inlines the
+    captured model pytree as program CONSTANTS, and lowering then pulls
+    every leaf back to host (`mlir.ir_constant` → `array._value`) — tens of
+    MB of D2H over the axon tunnel, observed to stall the whole stage for
+    minutes (r4 faulthandler trace). The argmax runs on host instead; the
+    logits are (batch, num_classes)-tiny.
+    """
     loader = Batches(test_d[0], test_d[1], cfg.batch_size)
     correct = n = 0.0
-    eval_fn = jax.jit(lambda x_u8: jnp.argmax(apply_fn(x_u8), axis=-1))
     for i, (imgs, labels, mask) in enumerate(loader):
         if cfg.DEBUG_MODE and i == 2:
             break
         if host_preprocess is not None:
             imgs = host_preprocess(imgs)
-        pred = np.asarray(eval_fn(jnp.asarray(imgs)))
+        pred = np.asarray(apply_fn(jnp.asarray(imgs))).argmax(axis=-1)
         correct += ((pred == labels) * mask).sum()
         n += mask.sum()
     return float(correct / max(n, 1.0))
@@ -360,9 +369,10 @@ class QuantizationEngine:
         if host_preprocess is not None:
             x = host_preprocess(x)
         x = jnp.asarray(x)
-        fn = jax.jit(apply_fn)
-        lat = latency_ms(fn, x)
-        lat["throughput_ips"] = throughput_ips(fn, x, batch_size=batch_size)
+        # no jax.jit(apply_fn) wrapper: see evaluate_accuracy_fn — re-jitting
+        # the conversion partials would embed the model as lowering constants
+        lat = latency_ms(apply_fn, x)
+        lat["throughput_ips"] = throughput_ips(apply_fn, x, batch_size=batch_size)
         return lat
 
     def size_mb(self, model) -> float:
