@@ -8,7 +8,13 @@ and report test accuracy BEFORE fine-tuning (the criterion's own signal)
 and after a short fine-tune (what survives recovery). Feeds the REPORT.md
 "importance criteria" table.
 
-Usage: python scripts/prune_criteria_ab.py [ratio] [ft_epochs] [fold]
+Usage: python scripts/prune_criteria_ab.py [ratio] [ft_epochs] [fold] [key=value ...]
+
+Extra ``key=value`` args override PruningConfig — e.g. the discriminative
+surrogate protocol (VERDICT r3 item 2):
+
+    python scripts/prune_criteria_ab.py 0.30 1 0 source_exp_name=h1 \
+        num_classes=12 synthetic_variant=hard synthetic_size=600
 """
 import sys, json, logging
 
@@ -18,25 +24,32 @@ from inference_efficient_vision_models_tpu.core.config import PruningConfig
 from inference_efficient_vision_models_tpu.cli.common import setup_stage, fold_arrays
 from inference_efficient_vision_models_tpu.cli.teacher import load_stage_model
 from inference_efficient_vision_models_tpu.cli.prune import StructuredPruningEngine
-from inference_efficient_vision_models_tpu.compress.prune.engine import taylor_grads
+from inference_efficient_vision_models_tpu.compress.prune.engine import (
+    taylor_grads_accumulated,
+)
 from inference_efficient_vision_models_tpu.data.pipeline import Batches
 
 METHODS = ("l2", "l1", "group_norm", "taylor", "random", "bn_act", "apoz")
 
 
 def main():
-    ratio = float(sys.argv[1]) if len(sys.argv) > 1 else 0.30
-    ft_epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-    fold = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    pos = [a for a in sys.argv[1:] if "=" not in a]
+    ratio = float(pos[0]) if len(pos) > 0 else 0.30
+    ft_epochs = int(pos[1]) if len(pos) > 1 else 1
+    fold = int(pos[2]) if len(pos) > 2 else 0
+    from inference_efficient_vision_models_tpu.cli.common import parse_cli_kwargs
 
-    cfg = PruningConfig(
-        experiment_name="criteria_ab",
-        source_exp_name="r2",
-        pruning_ratio=ratio,
-        round_to=8,
-        finetune_epochs=ft_epochs,
-        folds=fold,
-    )
+    overrides = parse_cli_kwargs([a for a in sys.argv[1:] if "=" in a])
+
+    cfg = PruningConfig(**{
+        "experiment_name": "criteria_ab",
+        "source_exp_name": "r2",
+        "pruning_ratio": ratio,
+        "round_to": 8,
+        "finetune_epochs": ft_epochs,
+        "folds": fold,
+        **overrides,
+    })
     logger, _, data, split = setup_stage(cfg)
     logging.getLogger().setLevel(logging.WARNING)  # quiet the per-eval chatter
     train_d, val_d, test_d = fold_arrays(data, split, fold)
@@ -49,8 +62,11 @@ def main():
         engine = StructuredPruningEngine(cfg, spec, params, state, logger)
         grads = None
         if method == "taylor":
-            batch = next(iter(Batches(train_d[0], train_d[1], cfg.batch_size)))
-            grads = taylor_grads(spec, params, state, batch)
+            # mean gradient over cfg.taylor_batches batches (a single batch —
+            # the reference's effective budget — made taylor pure noise)
+            it = iter(Batches(train_d[0], train_d[1], cfg.batch_size))
+            batches = [b for _, b in zip(range(cfg.taylor_batches), it)]
+            grads = taylor_grads_accumulated(spec, params, state, batches)
         engine.prune_model(grads=grads)
         engine.recalibrate(train_d)
         m0 = engine.evaluate_metrics(test_d, f"{method}/pruned")
