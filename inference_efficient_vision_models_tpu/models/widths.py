@@ -125,12 +125,17 @@ def resnet_spec(name: str, num_classes: int = 6, in_chans: int = 3) -> ResNetSpe
         "resnext50_32x4d": ("bottleneck", (3, 4, 6, 3), 4, 32, 4),
         "resnext101_32x8d": ("bottleneck", (3, 4, 23, 3), 4, 32, 8),
         "resnext26_32x4d": ("bottleneck", (2, 2, 2, 2), 4, 32, 4),
+        # torchvision Wide ResNets: bottleneck width doubled via base_width
+        "wide_resnet50_2": ("bottleneck", (3, 4, 6, 3), 4, 1, 128),
+        "wide_resnet101_2": ("bottleneck", (3, 4, 23, 3), 4, 1, 128),
     }
     if name not in table:
         raise ValueError(f"unknown resnet variant: {name!r} (have {sorted(table)})")
     block, depths, expansion, groups, base_width = table[name]
     stage_widths = tuple(p * expansion for p in _PLANES)
-    if groups > 1:
+    if groups > 1 or base_width != 64:
+        # torchvision parametrization: width = planes·(base_width/64)·groups
+        # (ResNeXt cardinality and/or Wide-ResNet doubled bottleneck width)
         inner_planes = tuple(p * base_width // 64 * groups for p in _PLANES)
     else:
         inner_planes = _PLANES

@@ -183,3 +183,36 @@ def test_resnext_static_int8_agreement():
     got = np.asarray(q_fn(jnp.asarray(imgs[:8])))
     err = np.abs(got - ref) / (np.abs(ref).max() + 1e-6)
     assert err.max() < 0.25, err.max()
+
+
+def test_wide_resnet_torch_parity():
+    """Wide ResNet (base_width=128, groups=1) through the same spec table."""
+    torch = pytest.importorskip("torch")
+    from tests import torch_ref
+
+    from inference_efficient_vision_models_tpu.models.torch_import import (
+        from_torch_state_dict,
+    )
+
+    tm = torch_ref.ResNet(
+        torch_ref.Bottleneck, [2, 2, 2, 2], num_classes=6, base_width=128
+    )
+    tm.eval()
+    # wide_resnet50_2 spec trimmed to depths (2,2,2,2) for a cheap check
+    import dataclasses
+
+    from inference_efficient_vision_models_tpu.models.widths import _uniform_inner
+
+    spec, _, _ = create_model("wide_resnet50_2", num_classes=6)
+    assert spec.inner_widths[0][0] == (128, 128)  # doubled bottleneck width
+    spec = dataclasses.replace(
+        spec, depths=(2, 2, 2, 2),
+        inner_widths=_uniform_inner("bottleneck", (2, 2, 2, 2), (128, 256, 512, 1024)),
+    )
+    params, state = from_torch_state_dict(spec, tm.state_dict())
+
+    x = np.random.default_rng(0).standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = _forward(spec, params, state, x)
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
