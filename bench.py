@@ -20,10 +20,18 @@ JSON line; key fields:
                            default on TPU; fp32_true forces
                            precision=float32 (the reference's IEEE fp32
                            semantics, `teacher_training/train.py:27`)
-  accuracy / source        test-split accuracy of the real stage-4 artifact
-                           (output/quantization/... preferred, committed
-                           artifacts/bench/... fallback). With no artifact
-                           (source=inprocess) accuracy is null and
+  spec_name / stage_widths / experiment / provenance
+                           identity of the measured artifact, verifiable
+                           from the JSON alone; selection is by flagship
+                           IDENTITY (pruned resnet18, 6 classes, provenance
+                           model_type=pruned), never by recency — see
+                           _find_artifact
+  accuracy / source        FULL test-split accuracy of the real stage-4
+                           artifact on its own data protocol (rebuilt from
+                           provenance.json), with a binomial 95% half-width
+                           (accuracy_ci95) and an independent 512-image
+                           fresh-draw check (accuracy_fresh). With no
+                           artifact (source=inprocess) accuracy is null and
                            accuracy_valid=false — a random-init build has
                            no meaningful accuracy. float_ref says whether
                            the fp32/bf16 reference points were folded from
@@ -82,35 +90,72 @@ def _chained_ms(body_fn, x, k):
     return max(t_2k - t_k, 1e-9) / k * 1e3
 
 
-def _find_artifact():
-    """Newest stage-4 static-int8 RESNET artifact, if any (the headline
-    metric is the reference's flagship config — pruned ResNet18; other
-    family artifacts may coexist under output/).
+FLAGSHIP_NAME = "resnet18"
+FLAGSHIP_CLASSES = 6
+UNPRUNED_WIDTHS = [64, 128, 256, 512]
 
-    Two roots are searched, by PROVENANCE not mtime: ``output/`` (fresh
-    pipeline runs) always wins when it holds any valid resnet artifact;
-    ``artifacts/bench/`` (a committed fold-0 release artifact of the same
-    r2 run, kept in-tree precisely so a fresh checkout still benches the
-    real stage-4 model instead of a random-init in-process build) is only
-    the fallback. mtime ordering is unreliable across the two roots — a
-    fresh checkout stamps the committed files with checkout time, which
-    would wrongly shadow an older pre-existing output/ run."""
+
+def _find_artifact():
+    """Flagship stage-4 artifact selected by IDENTITY, never by recency.
+
+    BENCH_r03/r04 both published invalid records because this function once
+    keyed on mtime + a spec field ResNet specs don't carry: round 4 silently
+    benched a ResNeXt A/B byproduct under the resnet18 label (VERDICT r4
+    item 1). The selection is now structural:
+
+      required   spec.name == "resnet18", num_classes == 6, and PRUNED
+                 stage_widths (≠ [64,128,256,512]) — the reference's
+                 flagship config (`/root/reference/README.md:56-62`)
+      required   provenance.json (when present) says model_type == "pruned"
+                 — experiment byproducts that quantize unpruned students
+                 can never shadow the headline
+      preferred  experiment == $BENCH_EXP (default "r2", the committed
+                 release protocol), then provenance-tagged, then fresh
+                 ``output/`` runs over the committed ``artifacts/bench/``
+                 fallback, then newest
+
+    Returns ``(artifact_dir, spec_dict, provenance_dict|None)``; all three
+    are None only when NO artifact matches the flagship identity — then the
+    bench falls back to an in-process random-init build whose accuracy is
+    reported null (never a fake number)."""
+    from inference_efficient_vision_models_tpu.core import provenance as prov_mod
+
+    exp_want = os.environ.get("BENCH_EXP", "r2")
+    best = None
     for root in ("output", os.path.join("artifacts", "bench")):
-        pats = sorted(
-            glob.glob(os.path.join(
-                root, "quantization", "*", "fold_*", "model_static_int8.msgpack")),
-            key=os.path.getmtime,
-            reverse=True,
-        )
-        for p in pats:
-            spec_path = os.path.join(os.path.dirname(p), "spec.json")
+        for p in glob.glob(os.path.join(
+                root, "quantization", "*", "fold_*", "model_static_int8.msgpack")):
+            d = os.path.dirname(p)
+            spec_path = os.path.join(d, "spec.json")
             if not os.path.exists(spec_path):
                 continue
-            with open(spec_path) as f:
-                kind = json.load(f).get("__kind__", "resnet")
-            if kind == "resnet":
-                return os.path.dirname(p)
-    return None
+            try:
+                with open(spec_path) as f:
+                    spec = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            if spec.get("name") != FLAGSHIP_NAME:
+                continue
+            if int(spec.get("num_classes", -1)) != FLAGSHIP_CLASSES:
+                continue
+            widths = [int(w) for w in spec.get("stage_widths", [])]
+            if not widths or widths == UNPRUNED_WIDTHS:
+                continue  # not pruned → not the flagship protocol
+            prov = prov_mod.read_provenance(d)
+            if prov is not None and prov.get("model_type") != "pruned":
+                continue
+            exp = os.path.basename(os.path.dirname(d))
+            key = (
+                0 if exp == exp_want else 1,
+                0 if prov is not None else 1,
+                0 if root == "output" else 1,
+                -os.path.getmtime(p),
+            )
+            if best is None or key < best[0]:
+                best = (key, d, spec, prov)
+    if best is None:
+        return None, None, None
+    return best[1], best[2], best[3]
 
 
 def main():
@@ -145,7 +190,7 @@ def main():
     logger = logging.getLogger("bench")
 
     # ---- model: real stage-4 artifact when present, else in-process build --
-    artifact_dir = _find_artifact()
+    artifact_dir, spec_dict, prov = _find_artifact()
     source = "artifact" if artifact_dir else "inprocess"
 
     class Cfg:
@@ -156,16 +201,13 @@ def main():
         compute_dtype = "bfloat16"
 
     if artifact_dir:
-        import json as _json
-
         from flax import serialization
 
         from inference_efficient_vision_models_tpu.models.registry import (
             spec_from_dict,
         )
 
-        with open(os.path.join(artifact_dir, "spec.json")) as f:
-            pspec = spec_from_dict(_json.load(f))
+        pspec = spec_from_dict(spec_dict)
         with open(os.path.join(artifact_dir, "model_static_int8.msgpack"), "rb") as f:
             qmodel = serialization.msgpack_restore(f.read())
         qmodel = device_materialize(qresnet.restore_derived(qmodel))
@@ -335,41 +377,125 @@ def main():
         from inference_efficient_vision_models_tpu.data import load_dataset
 
         exp = os.path.basename(os.path.dirname(artifact_dir))
-        cfg = QuantConfig(experiment_name=exp, choice=2)
+        # Rebuild the artifact's OWN data protocol from provenance so the
+        # eval split is the exact held-out split of its training run — the
+        # r04 record evaluated the r2 artifact (synthetic_size=600 → 300
+        # test images) on the default 126-image split instead.
+        data_kw = {}
+        if prov and isinstance(prov.get("data"), dict):
+            dp = prov["data"]
+            data_kw = {
+                k: dp[k]
+                for k in ("num_classes", "num_folds", "seed", "synthetic_size",
+                          "synthetic_variant", "synthetic_label_noise")
+                if k in dp
+            }
+        cfg = QuantConfig(experiment_name=exp, choice=2, **data_kw)
         data = load_dataset(cfg, logger)
         test_imgs, test_labels = data["test"]
     else:
+        exp = None
         test_imgs, test_labels = make_synthetic_neudet(64, 224, seed=1)
-    n_eval = min(len(test_imgs), 512)
+
     fwd64 = jax.jit(lambda xx: qresnet.apply_int8(pspec, qmodel, xx))
-    preds = []
-    for i in range(0, n_eval, 64):
-        chunk = test_imgs[i : i + 64]
-        if len(chunk) < 64:  # static shapes: pad the tail chunk
-            chunk = np.concatenate([chunk, np.zeros((64 - len(chunk), *chunk.shape[1:]), chunk.dtype)])
-        got = np.asarray(fwd64(jnp.asarray(space_to_depth_u8(chunk))))[: len(test_imgs[i : i + 64])]
-        preds.append(got.argmax(1))
-    preds = np.concatenate(preds)
+
+    def int8_preds(imgs):
+        out = []
+        for i in range(0, len(imgs), 64):
+            chunk = imgs[i : i + 64]
+            real = len(chunk)
+            if real < 64:  # static shapes: pad the tail chunk
+                chunk = np.concatenate(
+                    [chunk, np.zeros((64 - real, *chunk.shape[1:]), chunk.dtype)])
+            got = np.asarray(fwd64(jnp.asarray(space_to_depth_u8(chunk))))[:real]
+            out.append(got.argmax(1))
+        return np.concatenate(out)
+
+    # full official test split — never a truncation of it (VERDICT r4 #5)
+    n_eval = len(test_imgs)
+    preds = int8_preds(test_imgs)
     accuracy_valid = artifact_dir is not None
     accuracy = (
-        round(float((preds == test_labels[:n_eval]).mean()), 4)
+        round(float((preds == test_labels).mean()), 4)
         if artifact_dir is not None
         else None
     )
+    # binomial 95% half-width: the resolution of the accuracy claim. At
+    # p∈{0,1} the Wald interval degenerates to 0 — use the rule-of-three
+    # (P(no errors | p_err=3/n) ≈ 5%) as the floor instead.
+    if accuracy is not None:
+        wald = 1.96 * float(np.sqrt(accuracy * (1 - accuracy) / n_eval))
+        acc_ci95 = round(max(wald, 3.0 / n_eval if accuracy in (0.0, 1.0) else 0.0), 4)
+    else:
+        acc_ci95 = None
+    # independent fresh draw from the same generative distribution (unused
+    # seed) — a second, larger held-out measurement tightening the interval
+    if artifact_dir:
+        variant = (prov or {}).get("data", {}).get("synthetic_variant", "easy")
+        if variant == "hard":
+            from inference_efficient_vision_models_tpu.data.synthetic import (
+                make_synthetic_neudet_hard,
+            )
 
+            fresh = make_synthetic_neudet_hard(
+                -(-512 // cfg.num_classes), 224, cfg.num_classes,
+                seed=987654, shift=True)
+        else:
+            fresh = make_synthetic_neudet(
+                -(-512 // cfg.num_classes), 224, cfg.num_classes, seed=987654)
+        fresh_imgs, fresh_labels = fresh
+        fresh_preds = int8_preds(fresh_imgs)
+        accuracy_fresh = round(float((fresh_preds == fresh_labels).mean()), 4)
+        n_fresh = len(fresh_imgs)
+    else:
+        accuracy_fresh, n_fresh = None, 0
+
+    # int8 ↔ fp32 argmax agreement on ≥256 images (VERDICT r4 task 5)
     ref_fn = jax.jit(
         lambda m, xx: qresnet.apply_folded(pspec, m, normalize_images(xx))
     )
-    ref = np.asarray(ref_fn(folded, jnp.asarray(test_imgs[:64]))).argmax(1)
-    agree = float((preds[:64] == ref).mean())
+    agree_imgs = test_imgs
+    agree_preds = preds
+    if len(agree_imgs) < 256 and n_fresh:
+        agree_imgs = np.concatenate([test_imgs, fresh_imgs])[:512]
+        agree_preds = np.concatenate([preds, fresh_preds])[:512]
+    n_agree = min(len(agree_imgs), 512)
+    refs = []
+    for i in range(0, n_agree, 64):
+        chunk = agree_imgs[i : i + 64]
+        real = len(chunk)
+        if real < 64:
+            chunk = np.concatenate(
+                [chunk, np.zeros((64 - real, *chunk.shape[1:]), chunk.dtype)])
+        refs.append(np.asarray(ref_fn(folded, jnp.asarray(chunk)))[:real].argmax(1))
+    ref = np.concatenate(refs)
+    agree = float((agree_preds[:n_agree] == ref).mean())
 
     from inference_efficient_vision_models_tpu.metrics.profile import (
         count_params,
         model_size_bytes,
     )
 
-    print(json.dumps({
+    record = {
         "metric": "int8_pruned_resnet18_throughput",
+        # ---- identity of what was measured (self-proving record; a reader
+        # can verify the flagship claim from the JSON alone — VERDICT r4 #1)
+        "spec_name": pspec.name,
+        "stage_widths": [int(w) for w in getattr(pspec, "stage_widths", ())],
+        "num_classes": int(pspec.num_classes),
+        "experiment": exp if artifact_dir else None,
+        "artifact_path": artifact_dir,
+        "provenance": (
+            {
+                "model_type": prov.get("model_type"),
+                "pruning_ratio": (prov.get("upstream") or {}).get("pruning_ratio"),
+                "pruning_method": (prov.get("upstream") or {}).get("pruning_method"),
+                "round_to": (prov.get("upstream") or {}).get("round_to"),
+                "observer": prov.get("observer"),
+            }
+            if prov
+            else None
+        ),
         "value": round(ips, 1),
         "unit": "img/s",
         "vs_baseline": round(ips / TARGET_IPS, 3),
@@ -398,15 +524,25 @@ def main():
         "int8_vs_fp32_true": round(fp32_true_ms / device_ms, 2),
         "int8_vs_bf16": round(bf16_ms / device_ms, 2),
         "accuracy": accuracy,
+        "accuracy_ci95": acc_ci95,
         "accuracy_valid": accuracy_valid,
         "n_eval": int(n_eval),
+        "accuracy_fresh": accuracy_fresh,
+        "n_fresh": int(n_fresh),
         "int8_vs_fp32_argmax_agreement": agree,
+        "n_agree": int(n_agree),
         "source": source,
         "float_ref": float_ref,
         "int8_size_mb": round(model_size_bytes(qresnet.serializable(
             jax.device_get(qmodel))) / 1e6, 2),
         "params_M": round(count_params(jax.device_get(folded)) / 1e6, 3),
-    }))
+    }
+    # persist for scripts/check_scoreboard.py (REPORT's headline must quote
+    # the current record verbatim — VERDICT r4 task 4)
+    os.makedirs("results", exist_ok=True)
+    with open(os.path.join("results", "bench_latest.json"), "w") as f:
+        json.dump(record, f, indent=2)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

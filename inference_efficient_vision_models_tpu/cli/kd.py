@@ -67,6 +67,15 @@ def run_train(cfg, logger, data, split):
             cfg, spec, params, state, train_d, val_d, cfg.fold_dir(fold), logger,
             teacher=teacher,
         )
+        from ..core.provenance import stage_record, write_provenance
+
+        write_provenance(cfg.fold_dir(fold), stage_record(
+            cfg, "knowledge_distillation", fold,
+            source_dir=os.path.join(cfg.teacher_exp_path, f"fold_{fold}"),
+            model_type="student", student_model=cfg.student_model,
+            teacher_model=cfg.teacher_model, alpha=cfg.alpha,
+            temperature=cfg.temperature, epochs=cfg.epochs,
+        ))
         eval_step = make_eval_step(spec, compute_dtype=cfg.compute_dtype)
         params, state = device_materialize((params, state))
         test = evaluate(

@@ -67,6 +67,16 @@ def run_prune(cfg, logger, data, split):
         artifacts.save_checkpoint(
             cfg.fold_dir(fold), artifacts.LAST, engine.params, engine.state, engine.spec
         )
+        from ..core.provenance import stage_record, write_provenance
+
+        write_provenance(cfg.fold_dir(fold), stage_record(
+            cfg, "pruning", fold, source_dir=src_dir,
+            model_type="pruned", spec_name=engine.spec.name,
+            pruning_ratio=cfg.pruning_ratio, pruning_method=cfg.pruning_method,
+            round_to=cfg.round_to, global_pruning=cfg.global_pruning,
+            iterative_steps=cfg.iterative_steps,
+            finetune_epochs=cfg.finetune_epochs,
+        ))
         logger.info("saved pruned model → %s", cfg.fold_dir(fold))
     summarize_folds(rows, cfg.output_dir, logger, name="results")
     return rows

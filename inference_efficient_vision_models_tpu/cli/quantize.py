@@ -173,6 +173,18 @@ def run_quantize(cfg, logger, data, split):
             except Exception as e:  # reference catches per-method, :310-314
                 logger.error("method %s failed: %s", method, e)
                 logger.error(traceback.format_exc())
+        from ..core.provenance import stage_record, write_provenance
+
+        write_provenance(cfg.fold_dir(fold), stage_record(
+            cfg, "quantization", fold, source_dir=src,
+            model_type=cfg.model_type, spec_name=spec.name,
+            num_classes=int(spec.num_classes),
+            stage_widths=[int(w) for w in getattr(spec, "stage_widths", ())] or None,
+            observer=cfg.observer, qat_epochs=cfg.qat_epochs,
+            adaround_iters=cfg.adaround_iters,
+            calibration_images=cfg.calibration_images,
+            methods=list(cfg.methods),
+        ))
         if getattr(cfg, "sensitivity", False):
             try:
                 import pandas as pd

@@ -50,6 +50,14 @@ def run_train(cfg, logger, data, split):
         params, state, hist = train_classifier(
             cfg, spec, params, state, train_d, val_d, cfg.fold_dir(fold), logger
         )
+        from ..core.provenance import stage_record, write_provenance
+
+        write_provenance(cfg.fold_dir(fold), stage_record(
+            cfg, "teacher_training", fold,
+            model_type="teacher", model_name=cfg.model_name,
+            epochs=cfg.epochs, learning_rate=cfg.learning_rate,
+            pretrained=bool(cfg.pretrained),
+        ))
         eval_step = make_eval_step(spec, compute_dtype=cfg.compute_dtype)
         params, state = device_materialize((params, state))
         test = evaluate(

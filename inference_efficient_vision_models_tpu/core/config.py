@@ -99,6 +99,18 @@ class BaseConfig:
         self.synthetic_variant = "easy"
         self.synthetic_label_noise = 0.05  # train-split noise, 'hard' only
 
+        # Train-time augmentation (data/augment.py; OFF = exact reference
+        # parity — the reference has none, `teacher_training/dataset.py:14-21`).
+        # augment=True fuses flip/crop/brightness-contrast jitter into the
+        # jitted train step. For the hard surrogate set augment_flip=False
+        # augment_rot180=True (flips change the orientation label there).
+        self.augment = False
+        self.augment_flip = True
+        self.augment_rot180 = False
+        self.augment_crop_pad = 16
+        self.augment_brightness = 0.15
+        self.augment_contrast = 0.2
+
         self.cls_name_id_map = dict(CLS_NAME_ID_MAP)
 
         self._stage_defaults()

@@ -156,10 +156,19 @@ def train_classifier(
         logger.info("lr schedule: %s over %d steps", cfg.lr_schedule,
                     epochs * len(train_loader))
 
+    from ..data.augment import make_augment_fn
+
+    augment_fn = make_augment_fn(cfg)
+    if augment_fn is not None:
+        logger.info("train-time augmentation ON (crop_pad=%s flip=%s rot180=%s)",
+                    getattr(cfg, "augment_crop_pad", 16),
+                    getattr(cfg, "augment_flip", True),
+                    getattr(cfg, "augment_rot180", False))
     if teacher is None:
         step = steps_mod.make_train_step(
             spec, learning_rate=lr, compute_dtype=cfg.compute_dtype,
             lr_schedule=schedule,
+            augment_fn=augment_fn, augment_seed=cfg.seed,
         )
         extra = ()
     else:
@@ -173,6 +182,7 @@ def train_classifier(
             compute_dtype=cfg.compute_dtype,
             lr_schedule=schedule,
             sp_weight=float(getattr(cfg, "sp_weight", 0.0)),
+            augment_fn=augment_fn, augment_seed=cfg.seed,
         )
         extra = (t_params, t_state)
     eval_step = steps_mod.make_eval_step(spec, compute_dtype=cfg.compute_dtype)

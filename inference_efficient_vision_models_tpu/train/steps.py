@@ -27,16 +27,22 @@ def _dtype(name):
 
 
 def make_train_step(spec, *, learning_rate, compute_dtype="bfloat16", mesh=None,
-                    weight_decay=0.01, lr_schedule=None):
+                    weight_decay=0.01, lr_schedule=None, augment_fn=None,
+                    augment_seed=0):
     """CE classifier train step: (params, state, opt, batch) → (params, state, opt, metrics).
 
     ``lr_schedule`` is an optional jittable ``fn(step) -> lr`` (see
-    optim.make_lr_schedule); None keeps the constant reference behavior."""
+    optim.make_lr_schedule); None keeps the constant reference behavior.
+    ``augment_fn(key, imgs_u8)`` (data/augment.py) runs INSIDE the program,
+    keyed deterministically per (augment_seed, opt.step)."""
     cdt = _dtype(compute_dtype)
 
     def step(params, state, opt, batch):
         lr = lr_schedule(opt.step) if lr_schedule is not None else learning_rate
         imgs_u8, labels, mask = batch
+        if augment_fn is not None:
+            akey = jax.random.fold_in(jax.random.PRNGKey(augment_seed), opt.step)
+            imgs_u8 = augment_fn(akey, imgs_u8)
         x = normalize_images(imgs_u8, cdt)
 
         def loss_fn(p):
@@ -74,6 +80,8 @@ def make_kd_train_step(
     weight_decay=0.01,
     lr_schedule=None,
     sp_weight=0.0,
+    augment_fn=None,
+    augment_seed=0,
 ):
     """KD step: student trains against frozen teacher logits + hard labels.
 
@@ -91,6 +99,10 @@ def make_kd_train_step(
     def step(params, state, opt, teacher_params, teacher_state, batch):
         lr = lr_schedule(opt.step) if lr_schedule is not None else learning_rate
         imgs_u8, labels, mask = batch
+        if augment_fn is not None:
+            # teacher and student see the SAME augmented batch (standard KD)
+            akey = jax.random.fold_in(jax.random.PRNGKey(augment_seed), opt.step)
+            imgs_u8 = augment_fn(akey, imgs_u8)
         x = normalize_images(imgs_u8, cdt)
         if use_sp:
             teacher_feats, teacher_logits, _ = features_and_logits(

@@ -7,7 +7,9 @@ static-int8 with fori_loop-CHAINED programs at batch 256 (dispatch
 amortized; see scripts/device_time.py for why per-call timing over the axon
 tunnel is unusable). Sizes are serialized-artifact MB.
 
-Usage: python scripts/family_bench.py
+Usage: python scripts/family_bench.py [model_name ...]
+       (default: resnet18 mobilenet_v2 efficientnet_b0 vit_small_patch16_224
+        resnext26_32x4d)
 """
 import sys, time, logging
 sys.path.insert(0, ".")
@@ -56,7 +58,9 @@ def timeit(body, x, k=16, iters=5):
 
 B = 256
 x_np = np.random.default_rng(0).integers(0, 255, (B, 224, 224, 3)).astype(np.uint8)
-for name in ("resnet18", "mobilenet_v2", "efficientnet_b0", "vit_small_patch16_224"):
+DEFAULT = ("resnet18", "mobilenet_v2", "efficientnet_b0",
+           "vit_small_patch16_224", "resnext26_32x4d")
+for name in (tuple(sys.argv[1:]) or DEFAULT):
     with jax.default_device(jax.devices("cpu")[0]):
         spec, params, state = create_model(name, num_classes=6)
         pspec, pp, ps = prune_model(spec, params, state, ratio=0.11 if name == "resnet18" else 0.1,

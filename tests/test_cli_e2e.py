@@ -130,3 +130,28 @@ def test_stage4_quantize_cli_and_artifact_roundtrip(pipeline_env):
     p = Predictor.from_artifact(fold_dir, "static_int8", batch_size=8)
     imgs = np.random.default_rng(0).integers(0, 255, (8, 48, 48, 3)).astype(np.uint8)
     assert p.predict(imgs).shape == (8,)
+
+
+def test_provenance_chain(pipeline_env):
+    """Every stage wrote a provenance sidecar and stage 4's chains all the
+    way back to the teacher — the machinery that makes bench.py's flagship
+    selection structural (core/provenance.py)."""
+    import json
+
+    root, common = pipeline_env
+    q = os.path.join(common["artifacts_root"], "quantization", "e2e",
+                     "fold_0", "provenance.json")
+    with open(q) as f:
+        prov = json.load(f)
+    assert prov["stage"] == "quantization"
+    assert prov["model_type"] == "pruned"
+    assert prov["spec_name"] == "resnet18"
+    assert prov["stage_widths"] != [64, 128, 256, 512]  # physically pruned
+    assert prov["data"]["num_folds"] == 2
+    up = prov["upstream"]
+    assert up["stage"] == "pruning"
+    assert up["pruning_ratio"] == 0.12 and up["round_to"] == 8
+    up2 = up["upstream"]
+    assert up2["stage"] == "knowledge_distillation"
+    assert up2["model_type"] == "student"
+    assert up2["upstream"]["stage"] == "teacher_training"

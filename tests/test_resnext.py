@@ -178,11 +178,21 @@ def test_resnext_static_int8_agreement():
     eng = QuantizationEngine(_Cfg(), spec, params, state, logging.getLogger("q"))
     qmodel, q_fn = eng.static_quantize((imgs, labels))
 
-    x = normalize_images(jnp.asarray(imgs[:8]))
+    x = normalize_images(jnp.asarray(imgs[:16]))
     ref = np.asarray(qresnet.apply_folded(spec, eng.folded, x))
-    got = np.asarray(q_fn(jnp.asarray(imgs[:8])))
+    got = np.asarray(q_fn(jnp.asarray(imgs[:16])))
+    # Per-logit bound + argmax agreement, mirroring test_quant.py:106-110
+    # (VERDICT r4 item 6: the old 0.25 relative bound would have passed a
+    # badly mis-scaled requant). Measured error on this model is 0.024
+    # relative / 0.007 mean — int8 per-tensor activation scales on a
+    # 6-logit head leave accumulated quantization noise well under 8% of
+    # the logit range; 0.08 is 3x headroom over measured, still an order
+    # of magnitude below a wrong-scale failure.
     err = np.abs(got - ref) / (np.abs(ref).max() + 1e-6)
-    assert err.max() < 0.25, err.max()
+    assert err.max() < 0.08, err.max()
+    assert err.mean() < 0.02, err.mean()
+    agree = (got.argmax(1) == ref.argmax(1)).mean()
+    assert agree >= 0.9, agree
 
 
 def test_wide_resnet_torch_parity():
