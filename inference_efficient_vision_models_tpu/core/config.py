@@ -110,6 +110,11 @@ class BaseConfig:
         self.augment_crop_pad = 16
         self.augment_brightness = 0.15
         self.augment_contrast = 0.2
+        # planar illumination-gradient jitter amplitude (fraction of full
+        # scale); 0.5 spans the hard surrogate's shifted test range
+        self.augment_illum_gradient = 0.0
+        # gaussian pixel-noise jitter: per-image σ ~ U(0, augment_noise)
+        self.augment_noise = 0.0
 
         self.cls_name_id_map = dict(CLS_NAME_ID_MAP)
 

@@ -42,6 +42,8 @@ def augment_images(
     rot180: bool = False,
     brightness: float = 0.15,
     contrast: float = 0.2,
+    illum_gradient: float = 0.0,
+    noise: float = 0.0,
 ):
     """uint8 NHWC → augmented uint8 NHWC. Jittable, static output shape.
 
@@ -78,6 +80,27 @@ def augment_images(
         )
         mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
         x = (x - mean) * fac + mean
+    if illum_gradient:
+        # random planar illumination field ga·(x/W−½)+gb·(y/H−½), the
+        # nuisance whose RANGE shifts between the hard surrogate's train
+        # and test splits (data/synthetic.py:_hard_texture) — jittering it
+        # at train time spans the test range instead of memorizing the
+        # train one. ga/gb in units of full-scale (×255).
+        kg = jax.random.fold_in(kc, 1)
+        g = jax.random.uniform(
+            kg, (n, 2, 1, 1, 1), minval=-illum_gradient, maxval=illum_gradient
+        ) * 255.0
+        yy = (jnp.arange(h, dtype=jnp.float32) / h - 0.5)[None, :, None, None]
+        xx = (jnp.arange(w, dtype=jnp.float32) / w - 0.5)[None, None, :, None]
+        x = x + g[:, 0] * xx + g[:, 1] * yy
+    if noise:
+        # achromatic gaussian pixel noise with a per-image σ ~ U(0, noise)
+        # (fractions of full scale) — the hard surrogate's test split raises
+        # its sensor-noise σ beyond the train range; jittering σ at train
+        # time covers it
+        kn = jax.random.fold_in(kb, 1)
+        sig = jax.random.uniform(kn, (n, 1, 1, 1), maxval=noise) * 255.0
+        x = x + sig * jax.random.normal(jax.random.fold_in(kn, 2), (n, h, w, 1))
     return jnp.clip(jnp.round(x), 0.0, 255.0).astype(jnp.uint8)
 
 
@@ -90,11 +113,14 @@ def make_augment_fn(cfg):
     rot180 = bool(getattr(cfg, "augment_rot180", False))
     brightness = float(getattr(cfg, "augment_brightness", 0.15))
     contrast = float(getattr(cfg, "augment_contrast", 0.2))
+    illum = float(getattr(cfg, "augment_illum_gradient", 0.0))
+    noise = float(getattr(cfg, "augment_noise", 0.0))
 
     def fn(key, imgs_u8):
         return augment_images(
             key, imgs_u8, crop_pad=crop_pad, flip=flip, rot180=rot180,
-            brightness=brightness, contrast=contrast,
+            brightness=brightness, contrast=contrast, illum_gradient=illum,
+            noise=noise,
         )
 
     return fn

@@ -82,6 +82,26 @@ def test_crop_translates_content():
         assert any(matches), f"image {i}: no translation reproduces the crop"
 
 
+def test_illum_gradient_is_planar_field():
+    """Pure illumination jitter: per-image residual must be an exact plane
+    (up to u8 rounding/clipping) — corner-to-corner consistent."""
+    x = jnp.full((4, 16, 16, 3), 128, jnp.uint8)
+    out = np.asarray(augment_images(jax.random.PRNGKey(9), x, crop_pad=0,
+                                    flip=False, brightness=0.0, contrast=0.0,
+                                    illum_gradient=0.3)).astype(np.float32)
+    assert (out != 128).any()  # field applied
+    for i in range(4):
+        r = out[i, :, :, 0] - 128.0
+        # fit a plane via least squares; residual ≤ rounding error
+        yy, xx = np.mgrid[0:16, 0:16]
+        A = np.stack([xx.ravel(), yy.ravel(), np.ones(256)], 1)
+        coef, *_ = np.linalg.lstsq(A, r.ravel(), rcond=None)
+        resid = np.abs(A @ coef - r.ravel()).max()
+        assert resid <= 1.0, resid  # u8 rounding only
+        # channels identical (illumination is achromatic)
+        np.testing.assert_array_equal(out[i, :, :, 0], out[i, :, :, 1])
+
+
 def test_make_augment_fn_respects_config():
     class Cfg:
         augment = False
