@@ -105,6 +105,50 @@ def _uniform_inner(block: str, depths, planes) -> Tuple:
 
 _PLANES = (64, 128, 256, 512)
 
+# Bottleneck depth layouts keyed by torchvision's depth naming:
+# total depth = 3·sum(depths) + 2 (stem conv + fc).
+_DEPTH_TABLE = {
+    26: (2, 2, 2, 2),
+    38: (3, 3, 3, 3),
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
+}
+
+_RESNEXT_RE = None  # compiled lazily
+_WIDE_RE = None
+
+
+def _parse_resnet_name(name: str):
+    """Parametric fallback for torchvision-style family names not in the
+    fixed table — the open-factory analog of the reference's any-name
+    passthrough (`teacher_training/utils.py:21-66`):
+
+      resnext<D>_<G>x<W>d   → bottleneck, cardinality G, base width W
+      wide_resnet<D>_<k>    → bottleneck, base_width = 64·k
+
+    Returns ``(block, depths, expansion, groups, base_width)`` or None.
+    """
+    global _RESNEXT_RE, _WIDE_RE
+    import re
+
+    if _RESNEXT_RE is None:
+        _RESNEXT_RE = re.compile(r"^resnext(\d+)_(\d+)x(\d+)d$")
+        _WIDE_RE = re.compile(r"^wide_resnet(\d+)_(\d+)$")
+    m = _RESNEXT_RE.match(name)
+    if m:
+        depth, groups, base_width = map(int, m.groups())
+        if depth in _DEPTH_TABLE and groups >= 1 and base_width >= 1:
+            return ("bottleneck", _DEPTH_TABLE[depth], 4, groups, base_width)
+        return None
+    m = _WIDE_RE.match(name)
+    if m:
+        depth, k = map(int, m.groups())
+        if depth in _DEPTH_TABLE and k >= 1:
+            return ("bottleneck", _DEPTH_TABLE[depth], 4, 1, 64 * k)
+        return None
+    return None
+
 
 def resnet_spec(name: str, num_classes: int = 6, in_chans: int = 3) -> ResNetSpec:
     """Stock torchvision-compatible specs (reference model zoo:
@@ -129,9 +173,17 @@ def resnet_spec(name: str, num_classes: int = 6, in_chans: int = 3) -> ResNetSpe
         "wide_resnet50_2": ("bottleneck", (3, 4, 6, 3), 4, 1, 128),
         "wide_resnet101_2": ("bottleneck", (3, 4, 23, 3), 4, 1, 128),
     }
-    if name not in table:
-        raise ValueError(f"unknown resnet variant: {name!r} (have {sorted(table)})")
-    block, depths, expansion, groups, base_width = table[name]
+    if name in table:
+        block, depths, expansion, groups, base_width = table[name]
+    else:
+        parsed = _parse_resnet_name(name)
+        if parsed is None:
+            raise ValueError(
+                f"unknown resnet variant: {name!r} (have {sorted(table)}, or any "
+                "parametric 'resnext<D>_<G>x<W>d' / 'wide_resnet<D>_<k>' name "
+                f"with D in {sorted(_DEPTH_TABLE)})"
+            )
+        block, depths, expansion, groups, base_width = parsed
     stage_widths = tuple(p * expansion for p in _PLANES)
     if groups > 1 or base_width != 64:
         # torchvision parametrization: width = planes·(base_width/64)·groups

@@ -140,3 +140,41 @@ def test_device_profile_tolerates_any_backend():
     for r in rows:
         assert "total_self_us" in r and "name" in r
     assert rows == sorted(rows, key=lambda r: -r["total_self_us"])
+
+
+def test_parametric_family_names():
+    """The zoo's name space is parametric beyond the fixed table — the
+    open-factory analog of the reference's any-torchvision-name passthrough
+    (`teacher_training/utils.py:21-66`). A parametric name must agree with
+    its table twin where both exist, and any novel <D>/<G>x<W>d / _<k>
+    combination over the known depth layouts must construct and run."""
+    # table twins: identical specs whether hit via the table or the parser
+    for name in ("resnext50_32x4d", "wide_resnet50_2", "resnext26_32x4d"):
+        from inference_efficient_vision_models_tpu.models.widths import (
+            _parse_resnet_name,
+        )
+        tbl = resnet_spec(name, num_classes=6)
+        parsed = _parse_resnet_name(name)
+        assert parsed is not None
+        block, depths, expansion, groups, base_width = parsed
+        assert (block, depths, groups) == (tbl.block, tbl.depths, tbl.groups)
+
+    # novel names: not in the fixed table, still first-class specs
+    s = resnet_spec("resnext26_8x8d", num_classes=6)
+    assert s.block == "bottleneck" and s.groups == 8
+    assert s.inner_widths[0][0] == (64, 64)  # planes·8/64·8 = planes
+    s2 = resnet_spec("wide_resnet26_3", num_classes=6)
+    assert s2.groups == 1 and s2.inner_widths[0][0] == (192, 192)
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 64, 64, 3)), jnp.float32
+    )
+    for spec in (s, s2):
+        params, state = resnet.init(jax.random.PRNGKey(0), spec)
+        logits, _ = resnet.apply(spec, params, state, x, train=False)
+        assert logits.shape == (2, 6)
+
+    # malformed / unknown-depth names still fail loudly
+    for bad in ("resnext27_32x4d", "wide_resnet18_2", "resnext50_0x4d", "resnet19"):
+        with pytest.raises(ValueError):
+            resnet_spec(bad, num_classes=6)
